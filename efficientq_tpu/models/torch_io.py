@@ -1,0 +1,109 @@
+"""Torch checkpoint interop.
+
+The reference trains/saves torch ``state_dict`` pickles
+(src/utils/trainer.py:427-441).  Because our graph node names mirror the
+torch module paths, conversion is mechanical:
+
+- conv node ``X``  <->  ``X.weight`` (OIDHW<->DHWIO), ``X.bias``,
+  ``X.alpha_w``, ``X.alpha_act``
+- bn node ``X``    <->  ``X.weight`` (scale), ``X.bias``, ``X.running_mean``,
+  ``X.running_var`` (+ ``num_batches_tracked``, ignored)
+
+``load_torch_state_dict`` accepts either a path to a torch pickle or an
+in-memory dict of numpy arrays / torch tensors, and loads non-strictly like
+``model.load_state_dict(sd, strict=False)`` at src/ptq_seg.py:21.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..nnir import Graph
+
+
+def _to_np(v):
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def load_torch_state_dict(graph: Graph, variables, state_dict: Mapping, strict=False):
+    """Map a torch-style flat state dict into our {'params','state'} dicts.
+
+    Returns new variables (pure; input untouched). Missing keys keep current
+    values when ``strict`` is False.
+    """
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+    params = {k: dict(v) for k, v in variables["params"].items()}
+    state = {k: dict(v) for k, v in variables.get("state", {}).items()}
+    missing = []
+
+    def take(key):
+        if key in sd:
+            return sd[key]
+        missing.append(key)
+        return None
+
+    for node in graph.nodes:
+        if node.op == "conv":
+            w = take(f"{node.name}.weight")
+            if w is not None:
+                params[node.name]["kernel"] = jnp.asarray(
+                    np.transpose(w, (2, 3, 4, 1, 0)).astype(np.float32))
+            if "bias" in params[node.name]:
+                b = take(f"{node.name}.bias")
+                if b is not None:
+                    params[node.name]["bias"] = jnp.asarray(b.astype(np.float32))
+            for alpha in ("alpha_w", "alpha_act"):
+                if alpha in params[node.name] and f"{node.name}.{alpha}" in sd:
+                    params[node.name][alpha] = jnp.asarray(
+                        sd[f"{node.name}.{alpha}"].astype(np.float32).reshape(()))
+        elif node.op == "bn":
+            m = {"scale": "weight", "bias": "bias"}
+            for ours, theirs in m.items():
+                v = take(f"{node.name}.{theirs}")
+                if v is not None:
+                    params[node.name][ours] = jnp.asarray(v.astype(np.float32))
+            for ours, theirs in (("mean", "running_mean"), ("var", "running_var")):
+                v = take(f"{node.name}.{theirs}")
+                if v is not None:
+                    state[node.name][ours] = jnp.asarray(v.astype(np.float32))
+    if strict and missing:
+        raise KeyError(f"missing keys in state dict: {missing}")
+    return {"params": params, "state": state}
+
+
+def load_torch_checkpoint(graph: Graph, variables, path: str, strict=False):
+    """Load a reference training checkpoint pickle ({'state_dict': ...})."""
+    import torch  # cpu-only torch is available in the image
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return load_torch_state_dict(graph, variables, sd, strict)
+
+
+def to_torch_state_dict(graph: Graph, variables) -> Dict[str, np.ndarray]:
+    """Export our variables as a torch-style flat numpy state dict."""
+    out: Dict[str, np.ndarray] = {}
+    params = variables["params"]
+    state = variables.get("state", {})
+    for node in graph.nodes:
+        if node.op == "conv":
+            p = params[node.name]
+            out[f"{node.name}.weight"] = np.transpose(np.asarray(p["kernel"]),
+                                                      (4, 3, 0, 1, 2))
+            if "bias" in p:
+                out[f"{node.name}.bias"] = np.asarray(p["bias"])
+            for alpha in ("alpha_w", "alpha_act"):
+                if alpha in p:
+                    out[f"{node.name}.{alpha}"] = np.asarray(p[alpha])
+        elif node.op == "bn":
+            p = params[node.name]
+            s = state[node.name]
+            out[f"{node.name}.weight"] = np.asarray(p["scale"])
+            out[f"{node.name}.bias"] = np.asarray(p["bias"])
+            out[f"{node.name}.running_mean"] = np.asarray(s["mean"])
+            out[f"{node.name}.running_var"] = np.asarray(s["var"])
+    return out

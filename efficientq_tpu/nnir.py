@@ -1,0 +1,265 @@
+"""A minimal functional graph IR for 3D segmentation networks.
+
+Why an IR instead of a Module tree: everything the EfficientQ pipeline does to
+a network — BN folding, per-layer PTQ calibration sweeps, swapping a conv for
+a fused fake-quant Pallas kernel, activation capture — is a *graph transform*
+or a *graph traversal*.  The reference does these with stateful nn.Module mode
+flags and forward hooks (src/models/PTQConv.py:43-72, src/models/hooks.py,
+src/models/fold_bn.py); here the network is data:
+
+- ``Graph``: a topologically-ordered list of ``Node``s + output head names.
+- params/state: flat dicts keyed by node name (pytrees, jit-friendly).
+- ``apply``: interprets the graph; under ``jax.jit`` the interpretation cost
+  is trace-time only and XLA fuses the whole network.
+
+Node ops: input, conv, bn, relu, maxpool, upsample, dropout, add, identity.
+Tensors are NDHWC; conv kernels DHWIO (see ops.py).
+
+Node names mirror the reference's torch module paths (e.g.
+``u_blocks.UResBlock1.Layer1.block1.conv``) so torch checkpoints map 1:1
+(models/torch_io.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ops
+from .quant import fake_quant_act, fake_quant_weight
+
+
+@dataclasses.dataclass(frozen=True)
+class QCfg:
+    """Per-conv quantization config (mirrors PTQConv ctor args,
+    src/models/PTQConv.py:12-23)."""
+
+    q_weight: bool
+    qlvl_w: int
+    q_act: bool
+    qlvl_act: int
+
+
+@dataclasses.dataclass
+class Node:
+    name: str
+    op: str
+    inputs: Tuple[str, ...]
+    attrs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class Graph:
+    nodes: List[Node]
+    outputs: List[str]  # head node names, shallow-to-deep aux heads then final
+    input_name: str = "input"
+
+    _index: Optional[Dict[str, Node]] = None
+
+    def node(self, name: str) -> Node:
+        if self._index is None or len(self._index) != len(self.nodes):
+            self._index = {n.name: n for n in self.nodes}
+        return self._index[name]
+
+    def conv_nodes(self) -> List[Node]:
+        return [n for n in self.nodes if n.op == "conv"]
+
+    def qconv_nodes(self) -> List[Node]:
+        """Convs carrying a quantization config (the PTQ calibration targets),
+        in topological (network) order — the order the reference calibrates
+        them in its single 'quantizing' forward (src/ptqer.py:361-362)."""
+        return [n for n in self.nodes if n.op == "conv" and n.attrs.get("qcfg")]
+
+
+# ---------------------------------------------------------------------------
+# graph construction helpers
+# ---------------------------------------------------------------------------
+
+
+class GraphBuilder:
+    def __init__(self):
+        self.nodes: List[Node] = []
+        self.names = set()
+
+    def add(self, name: str, op: str, inputs: Sequence[str], **attrs) -> str:
+        assert name not in self.names, f"duplicate node {name}"
+        self.names.add(name)
+        self.nodes.append(Node(name, op, tuple(inputs), attrs))
+        return name
+
+    def input(self, name="input"):
+        return self.add(name, "input", ())
+
+    def conv(self, name, x, in_ch, out_ch, kernel_size, stride=1, padding=0,
+             dilation=1, groups=1, bias=True, qcfg: Optional[QCfg] = None):
+        return self.add(name, "conv", [x], in_ch=in_ch, out_ch=out_ch,
+                        kernel_size=ops.triple(kernel_size), stride=ops.triple(stride),
+                        padding=ops.triple(padding), dilation=ops.triple(dilation),
+                        groups=groups, bias=bias, qcfg=qcfg)
+
+    def bn(self, name, x, ch, eps=1e-5, momentum=0.1):
+        return self.add(name, "bn", [x], ch=ch, eps=eps, momentum=momentum)
+
+    def relu(self, name, x):
+        return self.add(name, "relu", [x])
+
+    def maxpool(self, name, x, kernel, stride=None):
+        return self.add(name, "maxpool", [x], kernel=ops.triple(kernel),
+                        stride=ops.triple(stride if stride is not None else kernel))
+
+    def upsample(self, name, x, scale_factor):
+        return self.add(name, "upsample", [x], scale_factor=ops.triple(scale_factor))
+
+    def dropout(self, name, x, rate):
+        return self.add(name, "dropout", [x], rate=float(rate))
+
+    def add_op(self, name, a, b):
+        return self.add(name, "add", [a, b])
+
+    def identity(self, name, x):
+        return self.add(name, "identity", [x])
+
+    def build(self, outputs: Sequence[str], input_name="input") -> Graph:
+        return Graph(self.nodes, list(outputs), input_name)
+
+
+# ---------------------------------------------------------------------------
+# parameter init (mirrors utils/misc.py:87-103 weights_init: kaiming-normal
+# conv weights, zero bias; BN scale=1, bias=0)
+# ---------------------------------------------------------------------------
+
+
+def _kaiming_normal(rng, shape_dhwio):
+    kd, kh, kw, cin, cout = shape_dhwio
+    fan_in = kd * kh * kw * cin
+    std = np.sqrt(2.0 / fan_in)
+    return std * jax.random.normal(rng, shape_dhwio, dtype=jnp.float32)
+
+
+def init(graph: Graph, rng: jax.Array):
+    """Returns {'params': {...}, 'state': {...}} flat dicts keyed by node name."""
+    params: Dict[str, Dict[str, jax.Array]] = {}
+    state: Dict[str, Dict[str, jax.Array]] = {}
+    for node in graph.nodes:
+        if node.op == "conv":
+            rng, sub = jax.random.split(rng)
+            a = node.attrs
+            kshape = (*a["kernel_size"], a["in_ch"] // a["groups"], a["out_ch"])
+            p = {"kernel": _kaiming_normal(sub, kshape)}
+            if a["bias"]:
+                p["bias"] = jnp.zeros((a["out_ch"],), jnp.float32)
+            if a.get("qcfg"):
+                p["alpha_w"] = jnp.float32(1.0)
+                p["alpha_act"] = jnp.float32(1.0)
+            params[node.name] = p
+        elif node.op == "bn":
+            ch = node.attrs["ch"]
+            params[node.name] = {
+                "scale": jnp.ones((ch,), jnp.float32),
+                "bias": jnp.zeros((ch,), jnp.float32),
+            }
+            state[node.name] = {
+                "mean": jnp.zeros((ch,), jnp.float32),
+                "var": jnp.ones((ch,), jnp.float32),
+            }
+    return {"params": params, "state": state}
+
+
+# ---------------------------------------------------------------------------
+# interpretation
+# ---------------------------------------------------------------------------
+
+
+def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision):
+    a = node.attrs
+    qcfg: Optional[QCfg] = a.get("qcfg")
+    kernel = p["kernel"]
+    bias = p.get("bias")
+    if qcfg is not None and mode in ("quantized", "fq"):
+        if qcfg.q_act:
+            x = fake_quant_act(x, p["alpha_act"], qcfg.qlvl_act)
+        if mode == "fq" and qcfg.q_weight:
+            # emulate quantization without a PTQ pass (weights quantized on
+            # the fly); after PTQ the stored kernel already holds quantized
+            # values and mode='quantized' uses it as-is
+            # (src/models/PTQConv.py:163-167).
+            kernel = fake_quant_weight(kernel, p["alpha_w"], qcfg.qlvl_w)
+    return ops.conv3d(x, kernel, bias, a["stride"], a["padding"], a["dilation"],
+                      a["groups"], precision=precision)
+
+
+def apply(
+    graph: Graph,
+    variables: Dict[str, Any],
+    x: jax.Array,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    mode: str = "fp",
+    precision=None,
+    capture: Optional[Sequence[str]] = None,
+):
+    """Interpret the graph on input ``x`` (NDHWC).
+
+    mode: 'fp' (plain convs), 'quantized' (fake-quant activations, stored
+    quantized weights), 'fq' (fake-quant both on the fly).
+
+    Returns stacked head outputs of shape (num_heads, N, D, H, W, C).
+    With ``train=True`` returns (out, new_state); with ``capture`` (a list of
+    node names) returns (out, {name: (node_input, node_output)}).
+    """
+    assert mode in ("fp", "quantized", "fq")
+    params = variables["params"]
+    st = variables.get("state", {})
+    new_state: Dict[str, Any] = {}
+    values: Dict[str, jax.Array] = {graph.input_name: x}
+    captured: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+
+    for i, node in enumerate(graph.nodes):
+        if node.op == "input":
+            continue
+        ins = [values[n] for n in node.inputs]
+        if node.op == "conv":
+            out = _eval_conv(node, params[node.name], ins[0], mode, precision)
+        elif node.op == "bn":
+            p = params[node.name]
+            s = st[node.name]
+            if train:
+                out, m, v = ops.batch_norm_train(
+                    ins[0], p["scale"], p["bias"], s["mean"], s["var"],
+                    node.attrs["momentum"], node.attrs["eps"])
+                new_state[node.name] = {"mean": m, "var": v}
+            else:
+                out = ops.batch_norm(ins[0], p["scale"], p["bias"], s["mean"],
+                                     s["var"], node.attrs["eps"])
+        elif node.op == "relu":
+            out = ops.relu(ins[0])
+        elif node.op == "maxpool":
+            out = ops.max_pool3d(ins[0], node.attrs["kernel"], node.attrs["stride"])
+        elif node.op == "upsample":
+            out = ops.upsample3d(ins[0], node.attrs["scale_factor"])
+        elif node.op == "dropout":
+            if train and node.attrs["rate"] > 0:
+                assert rng is not None, "dropout needs rng in train mode"
+                out = ops.dropout3d(ins[0], node.attrs["rate"], jax.random.fold_in(rng, i))
+            else:
+                out = ins[0]
+        elif node.op == "add":
+            out = ins[0] + ins[1]
+        elif node.op == "identity":
+            out = ins[0]
+        else:
+            raise ValueError(f"unknown op {node.op}")
+        values[node.name] = out
+        if capture and node.name in capture:
+            captured[node.name] = (ins[0], out)
+
+    out = jnp.stack([values[n] for n in graph.outputs], axis=0)
+    if capture is not None:
+        return out, captured
+    if train:
+        return out, new_state
+    return out
