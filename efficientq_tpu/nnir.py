@@ -191,6 +191,32 @@ def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision):
                       a["groups"], precision=precision)
 
 
+def eval_node(node: Node, params: Dict[str, Any], state: Dict[str, Any],
+              ins, *, mode: str = "fp", precision=None):
+    """Evaluate a single (inference-mode) node. Used by both the jitted
+    whole-graph ``apply`` and the eager PTQ calibration sweep."""
+    if node.op == "conv":
+        return _eval_conv(node, params[node.name], ins[0], mode, precision)
+    if node.op == "bn":
+        p = params[node.name]
+        s = state[node.name]
+        return ops.batch_norm(ins[0], p["scale"], p["bias"], s["mean"],
+                              s["var"], node.attrs["eps"])
+    if node.op == "relu":
+        return ops.relu(ins[0])
+    if node.op == "maxpool":
+        return ops.max_pool3d(ins[0], node.attrs["kernel"], node.attrs["stride"])
+    if node.op == "upsample":
+        return ops.upsample3d(ins[0], node.attrs["scale_factor"])
+    if node.op == "dropout":
+        return ins[0]
+    if node.op == "add":
+        return ins[0] + ins[1]
+    if node.op == "identity":
+        return ins[0]
+    raise ValueError(f"unknown op {node.op}")
+
+
 def apply(
     graph: Graph,
     variables: Dict[str, Any],
@@ -222,37 +248,18 @@ def apply(
         if node.op == "input":
             continue
         ins = [values[n] for n in node.inputs]
-        if node.op == "conv":
-            out = _eval_conv(node, params[node.name], ins[0], mode, precision)
-        elif node.op == "bn":
+        if train and node.op == "bn":
             p = params[node.name]
             s = st[node.name]
-            if train:
-                out, m, v = ops.batch_norm_train(
-                    ins[0], p["scale"], p["bias"], s["mean"], s["var"],
-                    node.attrs["momentum"], node.attrs["eps"])
-                new_state[node.name] = {"mean": m, "var": v}
-            else:
-                out = ops.batch_norm(ins[0], p["scale"], p["bias"], s["mean"],
-                                     s["var"], node.attrs["eps"])
-        elif node.op == "relu":
-            out = ops.relu(ins[0])
-        elif node.op == "maxpool":
-            out = ops.max_pool3d(ins[0], node.attrs["kernel"], node.attrs["stride"])
-        elif node.op == "upsample":
-            out = ops.upsample3d(ins[0], node.attrs["scale_factor"])
-        elif node.op == "dropout":
-            if train and node.attrs["rate"] > 0:
-                assert rng is not None, "dropout needs rng in train mode"
-                out = ops.dropout3d(ins[0], node.attrs["rate"], jax.random.fold_in(rng, i))
-            else:
-                out = ins[0]
-        elif node.op == "add":
-            out = ins[0] + ins[1]
-        elif node.op == "identity":
-            out = ins[0]
+            out, m, v = ops.batch_norm_train(
+                ins[0], p["scale"], p["bias"], s["mean"], s["var"],
+                node.attrs["momentum"], node.attrs["eps"])
+            new_state[node.name] = {"mean": m, "var": v}
+        elif train and node.op == "dropout" and node.attrs["rate"] > 0:
+            assert rng is not None, "dropout needs rng in train mode"
+            out = ops.dropout3d(ins[0], node.attrs["rate"], jax.random.fold_in(rng, i))
         else:
-            raise ValueError(f"unknown op {node.op}")
+            out = eval_node(node, params, st, ins, mode=mode, precision=precision)
         values[node.name] = out
         if capture and node.name in capture:
             captured[node.name] = (ins[0], out)

@@ -1,0 +1,189 @@
+"""Per-layer ADMM calibration (the EfficientQ proximal quantizer).
+
+Mirrors EfficientQConv.ptq (src/models/EfficientQConv.py:33-166):
+
+- rho/eta scaled by max(y_dim*y_std / (w_dim*w_std), 1) * mean(att)
+- ADMM iterations: closed-form proximal solve -> project_by_iter projection
+  -> dual update -> rho doubling every 50 iters (dual rescaled) -> best
+  iterate tracked by unweighted reconstruction MSE
+- returns the best (G, bias, alpha_w) and the final attention-weighted loss
+
+TPU-first: the rho schedule's *multipliers* are static, so the loop is
+compiled as a handful of segments — one Cholesky factorization per distinct
+rho, then a ``lax.fori_loop`` of cheap triangular solves + projections per
+segment.  The per-iteration loss comes from the Gram quadratic form, so no
+convolution is ever re-executed inside the loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import project_by_iter
+from .solver import (GramStats, compute_gram_stats, flat_to_kernel,
+                     kernel_to_flat, make_system, quadratic_mse,
+                     solve_proximal)
+
+
+@dataclasses.dataclass(frozen=True)
+class PTQHyperParams:
+    """lwq_* hyper-parameters (src/models/EfficientQConv.py:23-26)."""
+
+    admm_iter: int = 200
+    rho: float = 10.0
+    rho_max: float = 1000.0
+    eta: float = 1.0
+    mu: float = 0.0
+    rho_update_interval: int = 50
+
+
+def rho_segments(hp: PTQHyperParams) -> List[Tuple[float, int, float]]:
+    """Static (rho_multiplier, n_iters, dual_factor_after) segments.
+
+    Replays the schedule at src/models/EfficientQConv.py:129-137: at every
+    iteration with i % N == 0 (evaluated *after* the solve), rho doubles
+    (dual halves) until rho_max, then clamps (dual *= rho/rho_max).
+    """
+    mults, factors = [], []
+    r = hp.rho
+    for i in range(hp.admm_iter):
+        mults.append(r)
+        if i % hp.rho_update_interval == 0:
+            if r * 2 <= hp.rho_max:
+                r = r * 2
+                factors.append(0.5)
+            else:
+                factors.append(r / hp.rho_max)
+                r = hp.rho_max
+        else:
+            factors.append(1.0)
+    segments = []
+    start = 0
+    for i in range(1, hp.admm_iter + 1):
+        if i == hp.admm_iter or mults[i] != mults[start]:
+            segments.append((mults[start], i - start, factors[i - 1]))
+            start = i
+    return segments
+
+
+def admm_quantize(
+    w_flat0: jax.Array,
+    bias0: Optional[jax.Array],
+    stats: GramStats,
+    qlvl_w: int,
+    rho_scale: jax.Array,
+    hp: PTQHyperParams,
+):
+    """Run the ADMM loop on precomputed Grams.
+
+    Returns (bestG_flat, bestB, best_alpha_w, best_loss_unweighted).
+    """
+    c2 = w_flat0.shape[0]
+    has_bias = stats.has_bias
+    if has_bias:
+        assert bias0 is not None
+        W0_ext = jnp.concatenate([w_flat0, bias0[:, None]], axis=1)
+    else:
+        W0_ext = w_flat0
+    eta = hp.eta * rho_scale
+
+    G = w_flat0
+    dual = jnp.zeros_like(w_flat0)
+    bestG = w_flat0
+    bestB = bias0 if bias0 is not None else jnp.zeros((c2,), w_flat0.dtype)
+    bestLoss = jnp.float32(jnp.inf)
+    bestA = jnp.float32(1.0)
+
+    def ext(Gw, b):
+        if has_bias:
+            return jnp.concatenate([Gw, b[:, None]], axis=1)
+        return Gw
+
+    for mult, n_iters, dual_factor in rho_segments(hp):
+        rho = mult * rho_scale
+        A = make_system(stats, rho, eta, hp.mu)
+        chol = jax.scipy.linalg.cho_factor(A)
+
+        def body(_, carry, rho=rho, chol=chol):
+            G, dual, bestG, bestB, bestLoss, bestA = carry
+            w_star, b_star = solve_proximal(chol, stats, rho, eta, G - dual,
+                                            W0_ext)
+            a_w, b_w = project_by_iter(w_star + dual, qlvl_w, -1.0, 1.0)
+            G_new = a_w * b_w
+            dual_new = w_star - G_new + dual
+            loss = quadratic_mse(stats, ext(G_new, b_star), weighted=False)
+            better = loss < bestLoss
+            bestG = jnp.where(better, G_new, bestG)
+            bestB = jnp.where(better, b_star, bestB)
+            bestA = jnp.where(better, a_w, bestA)
+            bestLoss = jnp.minimum(loss, bestLoss)
+            return (G_new, dual_new, bestG, bestB, bestLoss, bestA)
+
+        carry = (G, dual, bestG, bestB, bestLoss, bestA)
+        G, dual, bestG, bestB, bestLoss, bestA = jax.lax.fori_loop(
+            0, n_iters, body, carry)
+        dual = dual * dual_factor
+
+    return bestG, bestB, bestA, bestLoss
+
+
+@partial(jax.jit, static_argnames=("ksize", "stride", "padding", "dilation",
+                                   "qlvl_w", "has_bias", "hp"))
+def calibrate_layer(
+    x_q: jax.Array,
+    y_fp: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    att: Optional[jax.Array],
+    *,
+    ksize,
+    stride,
+    padding,
+    dilation,
+    qlvl_w: int,
+    has_bias: bool,
+    hp: PTQHyperParams,
+):
+    """Calibrate one conv layer.
+
+    x_q: NDHWC quantized (or FP, if q_act off) input activation
+    y_fp: NDHWC full-precision target output
+    kernel/bias: current FP (BN-folded) parameters
+    att: optional (N, Do, Ho, Wo) attention weights
+
+    Returns dict with quantized kernel (DHWIO, values = alpha_w * grid),
+    bias, alpha_w, best unweighted loss, and the final reported layer loss
+    (attention-weighted when att is given, per EfficientQConv.py:161-166).
+    """
+    w_flat0 = kernel_to_flat(kernel)
+
+    # rho scaling (EfficientQConv.py:44-61)
+    y_std = jnp.std(y_fp, ddof=1)
+    w_std = jnp.std(w_flat0, ddof=1)
+    rho_scale = jnp.maximum(
+        (y_fp.size * y_std) / (w_flat0.size * w_std), 1.0)
+    if att is not None:
+        rho_scale = rho_scale * jnp.mean(att)
+
+    stats = compute_gram_stats(x_q, y_fp, att, ksize, stride, padding,
+                               dilation, has_bias=has_bias)
+    bestG, bestB, alpha_w, best_loss = admm_quantize(
+        w_flat0, bias, stats, qlvl_w, rho_scale, hp)
+
+    W_ext = (jnp.concatenate([bestG, bestB[:, None]], axis=1)
+             if has_bias else bestG)
+    final_unw = quadratic_mse(stats, W_ext, weighted=False)
+    final_att = quadratic_mse(stats, W_ext, weighted=True)
+
+    return {
+        "kernel": flat_to_kernel(bestG, kernel.shape),
+        "bias": bestB if has_bias else None,
+        "alpha_w": alpha_w,
+        "best_loss": best_loss,
+        "loss_unweighted": final_unw,
+        "loss_reported": final_att if att is not None else final_unw,
+    }

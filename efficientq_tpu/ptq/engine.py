@@ -1,0 +1,160 @@
+"""PTQ engine: the layer-wise calibration sweep.
+
+The reference performs calibration as a side effect of one forward pass with
+every conv flipped to a 'quantizing' mode flag (src/ptqer.py:282-387,
+src/models/PTQConv.py:157-162).  Here the same dataflow is explicit:
+
+1. fold BN (pure graph transform)
+2. one captured FP forward collects every qconv's FP output (the per-layer
+   regression target, replacing forward hooks src/models/hooks.py:5-10)
+3. attention weight map + mask pyramid from the FP prediction
+4. an eager sweep over the node list: at each qconv, the *current* input
+   (already carrying quantization error from preceding layers) is
+   fake-quantized, the layer is calibrated by ADMM (admm.py), and its
+   quantized output feeds the next node — exactly the error-propagation
+   semantics of the reference's single quantizing forward
+
+Each per-layer calibration is one jitted XLA computation (cached per shape
+signature), so the sweep runs at device speed with trace cost only on the
+first occurrence of each layer geometry.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import nnir, ops
+from ..nnir import Graph
+from ..quant import project_by_iter
+from .admm import PTQHyperParams, calibrate_layer
+from .attention import attention_weight_map, mask_pyramid, match_pyramid_level
+from .fold_bn import fold_bn
+
+HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass
+class PTQReport:
+    layer_losses: List[Tuple[str, float]]
+    class_voxel_nums: List[int]
+    fp_forward_seconds: float
+    calibration_seconds: float
+    output_fp: jnp.ndarray
+    output_q: jnp.ndarray
+
+    def layer_loss_lines(self) -> List[str]:
+        """layer_loss.txt formatting (src/ptqer.py:369-370,
+        EfficientQConv.py:166)."""
+        return [f"{name:45s}:{loss}" for name, loss in self.layer_losses]
+
+    def time_cost_line(self) -> str:
+        total = self.fp_forward_seconds + self.calibration_seconds
+        return f"{total / 60:.3f} min."
+
+
+def run_ptq(
+    graph: Graph,
+    variables,
+    calib_x: jnp.ndarray,
+    *,
+    task: str,
+    init_stride,
+    hp: PTQHyperParams = PTQHyperParams(),
+    att_style: str = "p:0.5",
+    num_mask_lvls: int = 5,
+    fold: bool = True,
+    verbose: bool = False,
+):
+    """Calibrate every qconv of ``graph`` on one NDHWC calibration batch.
+
+    Returns (folded_graph, quantized_variables, PTQReport).  After this,
+    ``nnir.apply(folded_graph, qvars, x, mode='quantized')`` runs quantized
+    inference (stored kernels hold quantized values; activations are
+    fake-quantized on the fly by alpha_act).
+    """
+    if fold:
+        graph, variables = fold_bn(graph, variables)
+    params = {k: dict(v) for k, v in variables["params"].items()}
+    state = variables.get("state", {})
+
+    qnodes = graph.qconv_nodes()
+    capture = [n.name for n in qnodes]
+
+    t0 = time.time()
+    out_fp, captured = nnir.apply(graph, {"params": params, "state": state},
+                                  calib_x, mode="fp", precision=HI,
+                                  capture=capture)
+    out_fp = jax.block_until_ready(out_fp)
+    t1 = time.time()
+
+    # body mask: BraTS = nonzero voxels of modality 0; LiTS = everything
+    # (src/ptqer.py:337-340)
+    if task == "brats":
+        body_mask = calib_x[..., 0] != 0.0
+    else:
+        body_mask = jnp.ones(calib_x.shape[:-1], bool)
+
+    # class stats use an all-ones mask; the pyramid uses the body mask
+    # (src/ptqer.py:342-345)
+    ones_mask = jnp.ones_like(body_mask)
+    weight_map, nums = attention_weight_map(out_fp[-1], ones_mask, att_style,
+                                            task)
+    pyramid = mask_pyramid(out_fp, body_mask, weight_map, init_stride,
+                           num_mask_lvls, task)
+
+    # ---- the calibration sweep ----
+    layer_losses: List[Tuple[str, float]] = []
+    values: Dict[str, jnp.ndarray] = {graph.input_name: calib_x}
+    for node in graph.nodes:
+        if node.op == "input":
+            continue
+        ins = [values[n] for n in node.inputs]
+        if node.op == "conv" and node.attrs.get("qcfg") is not None:
+            qcfg = node.attrs["qcfg"]
+            p = params[node.name]
+            x_in = ins[0]
+            y_fp = captured[node.name][1]
+            if verbose:
+                print(f"Calibrating {node.name}")
+            if qcfg.q_act:
+                a_act, b_act = project_by_iter(x_in, qcfg.qlvl_act, 0.0, 1.0)
+                p["alpha_act"] = a_act
+                x_q = a_act * b_act
+            else:
+                x_q = x_in
+            if qcfg.q_weight:
+                att = match_pyramid_level(pyramid, y_fp.shape)
+                res = calibrate_layer(
+                    x_q, y_fp, p["kernel"], p.get("bias"), att,
+                    ksize=node.attrs["kernel_size"],
+                    stride=node.attrs["stride"],
+                    padding=node.attrs["padding"],
+                    dilation=node.attrs["dilation"],
+                    qlvl_w=qcfg.qlvl_w,
+                    has_bias="bias" in p,
+                    hp=hp)
+                p["kernel"] = res["kernel"]
+                if res["bias"] is not None:
+                    p["bias"] = res["bias"]
+                p["alpha_w"] = res["alpha_w"]
+                layer_losses.append((node.name, float(res["loss_reported"])))
+            out = ops.conv3d(x_q, p["kernel"], p.get("bias"),
+                             node.attrs["stride"], node.attrs["padding"],
+                             node.attrs["dilation"], node.attrs["groups"],
+                             precision=HI)
+        else:
+            out = nnir.eval_node(node, params, state, ins, mode="fp",
+                                 precision=HI)
+        values[node.name] = out
+
+    out_q = jnp.stack([values[n] for n in graph.outputs], axis=0)
+    out_q = jax.block_until_ready(out_q)
+    t2 = time.time()
+
+    new_vars = {"params": params, "state": state}
+    report = PTQReport(layer_losses, nums, t1 - t0, t2 - t1, out_fp, out_q)
+    return graph, new_vars, report

@@ -1,0 +1,132 @@
+"""Gram-matrix solver oracle tests vs an explicit NumPy im2col (the trusted
+construction, mirroring the reference self-test pattern solver.py:348-365)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficientq_tpu.ptq.admm import PTQHyperParams, admm_quantize, rho_segments
+from efficientq_tpu.ptq.solver import (compute_gram_stats, flat_to_kernel,
+                                       kernel_to_flat, make_system,
+                                       quadratic_mse)
+from efficientq_tpu import ops
+
+
+def np_im2col(x_ncdhw, ksize, stride, padding):
+    """Explicit host im2col, channel-major rows (solver.py:86-111)."""
+    n, c, d, h, w = x_ncdhw.shape
+    kD, kH, kW = ksize
+    sD, sH, sW = stride
+    pD, pH, pW = padding
+    xp = np.pad(x_ncdhw, ((0, 0), (0, 0), (pD, pD), (pH, pH), (pW, pW)))
+    Do = (d + 2 * pD - kD) // sD + 1
+    Ho = (h + 2 * pH - kH) // sH + 1
+    Wo = (w + 2 * pW - kW) // sW + 1
+    cols = np.zeros((n, Do, Ho, Wo, c * kD * kH * kW), np.float32)
+    for i in range(Do):
+        for j in range(Ho):
+            for k in range(Wo):
+                patch = xp[:, :, i * sD:i * sD + kD, j * sH:j * sH + kH,
+                           k * sW:k * sW + kW]
+                cols[:, i, j, k] = patch.reshape(n, -1)
+    return cols.transpose(4, 0, 1, 2, 3).reshape(c * kD * kH * kW, -1)
+
+
+@pytest.mark.parametrize("ksize,stride,padding", [
+    ((3, 3, 3), (1, 1, 1), (1, 1, 1)),
+    ((3, 3, 3), (2, 2, 1), (1, 1, 1)),
+    ((1, 1, 1), (1, 1, 1), (0, 0, 0)),
+])
+def test_gram_stats_match_explicit_im2col(ksize, stride, padding):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 6, 7, 5).astype(np.float32)   # NCDHW for the oracle
+    kD, kH, kW = ksize
+    Do = (6 + 2 * padding[0] - kD) // stride[0] + 1
+    Ho = (7 + 2 * padding[1] - kH) // stride[1] + 1
+    Wo = (5 + 2 * padding[2] - kW) // stride[2] + 1
+    y = rng.randn(2, 4, Do, Ho, Wo).astype(np.float32)
+    att = np.abs(rng.randn(2, Do, Ho, Wo)).astype(np.float32)
+
+    xcol = np_im2col(x, ksize, stride, padding)                  # (c1k, S)
+    xcol_b = np.vstack([xcol, np.ones((1, xcol.shape[1]), np.float32)])
+    ycol = y.transpose(1, 0, 2, 3, 4).reshape(4, -1)             # (c2, S)
+    a = att.reshape(1, -1)
+    A_ref = xcol_b @ (xcol_b * a).T
+    B_ref = ycol @ (xcol_b * a).T
+
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # NDHWC
+    y_j = jnp.asarray(y.transpose(0, 2, 3, 4, 1))
+    stats = compute_gram_stats(x_j, y_j, jnp.asarray(att), ksize, stride,
+                               padding, has_bias=True, max_chunk_elems=4096)
+    np.testing.assert_allclose(np.asarray(stats.A_att), A_ref, atol=1e-2,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats.B_att), B_ref, atol=1e-2,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(stats.yy_att), float((a * ycol ** 2).sum()),
+                               rtol=1e-5)
+
+
+def test_quadratic_mse_equals_direct_conv_mse():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 6, 6, 6, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 3, 4).astype(np.float32) * 0.2)  # DHWIO
+    b = jnp.asarray(rng.randn(4).astype(np.float32))
+    y = jnp.asarray(rng.randn(1, 6, 6, 6, 4).astype(np.float32))
+    stats = compute_gram_stats(x, y, None, (3, 3, 3), (1, 1, 1), (1, 1, 1),
+                               has_bias=True)
+    W_ext = jnp.concatenate([kernel_to_flat(w), b[:, None]], axis=1)
+    q = float(quadratic_mse(stats, W_ext, weighted=False))
+    out = ops.conv3d(x, w, b, 1, 1, precision=jax.lax.Precision.HIGHEST)
+    direct = float(jnp.mean((out - y) ** 2))
+    assert abs(q - direct) / direct < 1e-3
+
+
+def test_kernel_flat_roundtrip_matches_torch_ordering():
+    import torch
+    rng = np.random.RandomState(1)
+    w_oidhw = rng.randn(4, 3, 2, 2, 2).astype(np.float32)
+    flat_ref = torch.from_numpy(w_oidhw).reshape(4, -1).numpy()
+    w_dhwio = jnp.asarray(w_oidhw.transpose(2, 3, 4, 1, 0))
+    flat = np.asarray(kernel_to_flat(w_dhwio))
+    np.testing.assert_allclose(flat, flat_ref)
+    back = np.asarray(flat_to_kernel(jnp.asarray(flat), w_dhwio.shape))
+    np.testing.assert_allclose(back, np.asarray(w_dhwio))
+
+
+def test_rho_segments_schedule():
+    hp = PTQHyperParams(admm_iter=200, rho=10.0, rho_max=1000.0)
+    segs = rho_segments(hp)
+    # rho at solve time: 10 (iter 0), 20 (1-50), 40 (51-100), 80 (101-150),
+    # 160 (151-199)
+    assert [(m, n) for m, n, _ in segs] == [
+        (10.0, 1), (20.0, 50), (40.0, 50), (80.0, 50), (160.0, 49)]
+    assert all(f == 0.5 for _, _, f in segs[:-1])
+
+
+def test_admm_beats_naive_projection():
+    """The headline property: ADMM-calibrated 2-bit weights reconstruct the
+    layer output better than directly projecting the FP weights."""
+    from efficientq_tpu.quant import project_by_iter
+
+    rng = np.random.RandomState(42)
+    x = jnp.asarray(np.abs(rng.randn(1, 8, 8, 8, 6)).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 3, 6, 8) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32) * 0.01)
+    y = ops.conv3d(x, w, b, 1, 1, precision=jax.lax.Precision.HIGHEST)
+
+    stats = compute_gram_stats(x, y, None, (3, 3, 3), (1, 1, 1), (1, 1, 1),
+                               has_bias=True)
+    w_flat = kernel_to_flat(w)
+    hp = PTQHyperParams(admm_iter=60)
+    G, B, alpha, loss = admm_quantize(w_flat, b, stats, 4, jnp.float32(1.0), hp)
+
+    # naive: project weights, keep bias
+    a_n, b_n = project_by_iter(w_flat, 4, -1.0, 1.0)
+    W_naive = jnp.concatenate([(a_n * b_n), b[:, None]], axis=1)
+    naive_loss = float(quadratic_mse(stats, W_naive, weighted=False))
+    assert float(loss) < naive_loss * 0.9, (float(loss), naive_loss)
+    # quantized values lie on the alpha * 4-level grid
+    grid = np.array([-1, -1 / 3, 1 / 3, 1]) * float(alpha)
+    vals = np.asarray(G).ravel()
+    dist = np.min(np.abs(vals[:, None] - grid[None, :]), axis=1)
+    assert dist.max() < 1e-4
