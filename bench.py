@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Benchmark: flagship BraTS W4A4 quantized 3D-UNet forward throughput on a
+128^3 patch (the headline inference workload of BASELINE.json), vs a torch
+CPU FP32 execution of the *same* graph (the reference's substrate).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "patches/sec", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def torch_reference_forward(graph, variables, x_ncdhw):
+    """Execute our graph IR with torch CPU ops (the oracle/baseline
+    substrate). Generic interpreter — no model-specific code."""
+    import torch
+    import torch.nn.functional as F
+
+    params = {k: {kk: torch.from_numpy(np.asarray(vv)) for kk, vv in v.items()}
+              for k, v in variables["params"].items()}
+    state = {k: {kk: torch.from_numpy(np.asarray(vv)) for kk, vv in v.items()}
+             for k, v in variables.get("state", {}).items()}
+    values = {graph.input_name: torch.from_numpy(x_ncdhw)}
+    with torch.no_grad():
+        for node in graph.nodes:
+            if node.op == "input":
+                continue
+            ins = [values[n] for n in node.inputs]
+            a = node.attrs
+            if node.op == "conv":
+                p = params[node.name]
+                w = p["kernel"].permute(4, 3, 0, 1, 2).contiguous()
+                values[node.name] = F.conv3d(
+                    ins[0], w, p.get("bias"), a["stride"], a["padding"],
+                    a["dilation"], a["groups"])
+            elif node.op == "bn":
+                p, s = params[node.name], state[node.name]
+                values[node.name] = F.batch_norm(
+                    ins[0], s["mean"], s["var"], p["scale"], p["bias"],
+                    False, 0.1, a["eps"])
+            elif node.op == "relu":
+                values[node.name] = F.relu(ins[0])
+            elif node.op == "maxpool":
+                values[node.name] = F.max_pool3d(ins[0], a["kernel"], a["stride"])
+            elif node.op == "upsample":
+                values[node.name] = F.interpolate(
+                    ins[0], scale_factor=a["scale_factor"], mode="trilinear")
+            elif node.op == "add":
+                values[node.name] = ins[0] + ins[1]
+            elif node.op in ("identity", "dropout"):
+                values[node.name] = ins[0]
+            else:
+                raise ValueError(node.op)
+        return torch.stack([values[n] for n in graph.outputs])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from efficientq_tpu import nnir
+    from efficientq_tpu.models import build_uresq, preset_config
+    from efficientq_tpu.ptq import fold_bn
+    from efficientq_tpu.quant import fake_quant_weight
+
+    cfg = preset_config("brats", quantize=True)
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    fgraph, fvars = fold_bn(graph, variables)
+
+    # emulate the post-PTQ state: weights pre-projected onto the alpha grid,
+    # activations fake-quantized on the fly (mode='quantized')
+    for node in fgraph.qconv_nodes():
+        qcfg = node.attrs["qcfg"]
+        p = fvars["params"][node.name]
+        if qcfg.q_weight:
+            alpha = jnp.maximum(jnp.max(jnp.abs(p["kernel"])), 1e-8)
+            p["kernel"] = fake_quant_weight(p["kernel"], alpha, qcfg.qlvl_w)
+            p["alpha_w"] = alpha
+        if qcfg.q_act:
+            p["alpha_act"] = jnp.float32(1.0)
+
+    x = np.random.RandomState(0).randn(1, 128, 128, 128, 4).astype(np.float32)
+    xj = jnp.asarray(x)
+
+    @jax.jit
+    def fwd(v, xb):
+        return nnir.apply(fgraph, v, xb, mode="quantized")
+
+    # compile + warmup
+    out = jax.block_until_ready(fwd(fvars, xj))
+    assert np.isfinite(np.asarray(out)).all()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(fvars, xj)
+    jax.block_until_ready(out)
+    tpu_sec = (time.perf_counter() - t0) / iters
+    tpu_throughput = 1.0 / tpu_sec
+
+    # torch CPU FP32 baseline on the same graph (1 timed run after warmup)
+    x_ncdhw = np.transpose(x, (0, 4, 1, 2, 3)).copy()
+    t0 = time.perf_counter()
+    torch_reference_forward(fgraph, fvars, x_ncdhw)
+    cpu_sec = time.perf_counter() - t0
+    cpu_throughput = 1.0 / cpu_sec
+
+    print(json.dumps({
+        "metric": "brats_uresq_w4a4_128cube_forward_throughput",
+        "value": round(tpu_throughput, 4),
+        "unit": "patches/sec",
+        "vs_baseline": round(tpu_throughput / cpu_throughput, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

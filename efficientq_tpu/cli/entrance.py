@@ -1,0 +1,128 @@
+"""CLI entrance: argparse flags + YAML-wins config merge.
+
+Flag surface preserved verbatim from src/entrance.py:33-116; a YAML config
+overrides command-line values for every non-None entry (entrance.py:17-28 —
+"config file first").
+"""
+from __future__ import annotations
+
+import argparse
+
+import yaml
+
+
+def merge_config(cfg_path: str, args: argparse.Namespace) -> argparse.Namespace:
+    with open(cfg_path) as f:
+        config = yaml.load(f, Loader=yaml.FullLoader)
+    for k, v in config.items():
+        if v is not None:
+            setattr(args, k, v)
+    return args
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Entrance for Quantization/FP training/Inference")
+    parser.add_argument("mission", choices=["train_fp", "ptq"])
+    parser.add_argument("--pretrain")
+    parser.add_argument("--resume")
+    parser.add_argument("--device", default=0, type=int,
+                        help="device ID (single-host TPU index).")
+    parser.add_argument("--task")
+    parser.add_argument("--suffix", default="", type=str,
+                        help="folder name suffix.")
+    parser.add_argument("--test_fp", action="store_true")
+    parser.add_argument("--config", type=str)
+
+    # data config
+    parser.add_argument("--data_dir")
+    parser.add_argument("--split_dir")
+    parser.add_argument("--round", default="1", type=str)
+    parser.add_argument("--patch_size")
+    parser.add_argument("--batch_size", default=1, type=int)
+    parser.add_argument("--test_batch_size", default=1, type=int)
+    parser.add_argument("--crop_type", default="random")
+    parser.add_argument("--balance_rate", type=float)
+    parser.add_argument("--data_on_disk", action="store_true")
+    parser.add_argument("--bin_label", help="convert to binary label")
+    parser.add_argument("--multi_label", help="multiple labels per pixel")
+    parser.add_argument("--merge_type", help="how to merge multiple labels")
+    parser.add_argument("--random_noise_p", type=float)
+    parser.add_argument("--access_type", default="npy")
+    parser.add_argument("--num_workers", default=4, type=int)
+    parser.add_argument("--da_scaling", type=str, default=None)
+    parser.add_argument("--scal_order", type=int, default=1)
+
+    # model config
+    parser.add_argument("--model", default="UResQ")
+    parser.add_argument("--nMod", type=int)
+    parser.add_argument("--nClass", type=int)
+    parser.add_argument("--init_stride", type=str, default="1")
+    parser.add_argument("--resblock")
+    parser.add_argument("--depth")
+    parser.add_argument("--width")
+    parser.add_argument("--dilation")
+    parser.add_argument("--nla", default="relu")
+    parser.add_argument("--norm", type=str, default="bn")
+    parser.add_argument("--group_num", type=int, help="GN's group number")
+    parser.add_argument("--drop_rate", default=0.2, type=float)
+    parser.add_argument("--no_drop", action="store_true")
+    parser.add_argument("--ds", type=str, default=None,
+                        choices=["simple", "complex", ""])
+    parser.add_argument("--init_kernel", default=3, type=int)
+    parser.add_argument("--block_type", default="RBpre")
+    parser.add_argument("--hetero_dim", action="store_true")
+    parser.add_argument("--blk", type=str, default="pre")
+
+    # FP training config
+    parser.add_argument("--lr", default=0.001, type=float, metavar="LR",
+                        help="initial learning rate")
+    parser.add_argument("--max_epoch", type=int, default=20)
+    parser.add_argument("--loss", type=str, default="CE")
+    parser.add_argument("--test_interval", type=int, default=50)
+    parser.add_argument("--disp_interval", type=int, default=10)
+    parser.add_argument("--weight_decay", type=str, default="0")
+    parser.add_argument("--no_test", action="store_true")
+    parser.add_argument("--exp_id", type=str, default=None)
+
+    # quantization config
+    parser.add_argument("--qconv", default="conv")
+    parser.add_argument("--qlvl_w", type=int)
+    parser.add_argument("--qlvl_a", type=int)
+    parser.add_argument("--q_first",
+                        help="whether quantize first layer, e.g. 256,64")
+    parser.add_argument("--q_last", help="similar to q_first")
+
+    # PTQ config
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--lwq_dataid", type=int, default=0)
+    parser.add_argument("--lwq_batchsz", type=int, default=1)
+    parser.add_argument("--lwq_patchsz")
+    parser.add_argument("--lwq_iter", type=int, default=200)
+    parser.add_argument("--lwq_rho", type=float, default=10.0)
+    parser.add_argument("--lwq_rho_max", type=float, default=1000.0)
+    parser.add_argument("--lwq_eta", type=float, default=1.0)
+    parser.add_argument("--lwq_verbose", action="store_true")
+
+    # evaluation config
+    parser.add_argument("--save_nii", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.config:
+        args = merge_config(args.config, args)
+
+    from .missions import ptq, train_fp
+
+    if args.mission == "train_fp":
+        return train_fp(args)
+    elif args.mission == "ptq":
+        return ptq(args)
+    raise NotImplementedError(args.mission)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Mission drivers: train_fp and ptq.
+
+Mirror src/train_seg.py:27-203 and src/ptq_seg.py + src/ptqer.py:282-387.
+"""
+from __future__ import annotations
+
+import os
+import os.path as P
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import nnir, ops
+from ..data.transforms import center_crop
+from ..eval.validate import validate_seg
+from ..models import build_uresq, torch_io
+from ..ptq import run_ptq
+from ..quant import pack_int_weight
+from ..train import Trainer
+from . import definer
+
+
+def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
+                mode="fp"):
+    """validate_final equivalent: per-split metric files
+    (trainer.py:272-304)."""
+    os.makedirs(save_dir, exist_ok=True)
+    for split, loader, sns in (("val", hub.valloader, hub.val_sn),
+                               ("test", hub.testloader, hub.test_sn)):
+        if loader is None:
+            continue
+        nii_dir = P.join(save_dir, split) if args.save_nii else None
+        sm = validate_seg(graph, variables, loader, sns, num_mo, n_class,
+                          patch_size=hub.slide_patch_size,
+                          overlap=hub.slide_overlap, mode=mode,
+                          save_dir=nii_dir, sn_fn_dict=hub.sn_to_fn_map,
+                          restore_shape_func=hub.restore_shape_func,
+                          restore_infokw=hub.restore_infokw,
+                          merge_label_func=hub.merge_label_func,
+                          multilabel_fusetype=hub.multilabel_fusetype)
+        with open(P.join(save_dir, f"{split}_seg.txt"), "w") as f:
+            for i in range(-1, -num_mo - 1, -1):
+                sm[i].write_metric(f, "Output %d:" % i, is_indiv=True)
+        sm[-1].print_metric("  " + split)
+
+
+def train_fp(args):
+    """FP training mission (train_seg.py:27-203)."""
+    hub, data_info, nMod, nClass, patch_size = definer.get_data_cube(args)
+    cfg, model_info, n_mo = definer.get_model_config(args)
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+
+    qinfo = "FP"
+    snap_root = definer.make_snapshot_dir(args, "exp_fp", model_info, qinfo)
+
+    warmup_epochs = 5 if args.pretrain else 1
+    test_interval = (args.test_interval
+                     if args.test_interval > args.max_epoch / 20
+                     else max(args.max_epoch // 20, 1))
+    trainer = Trainer(
+        graph, variables, hub, loss_name=args.loss, num_mo=n_mo,
+        n_class=nClass, base_lr=args.lr, max_epoch=args.max_epoch,
+        snapshot_root=snap_root, weight_decay=float(args.weight_decay),
+        warmup_epochs=warmup_epochs, test_interval=test_interval,
+        display_interval=args.disp_interval,
+        multilabel_fusetype=args.merge_type)
+    if args.resume:
+        trainer.resume(args.resume)
+    elif args.pretrain:
+        trainer.load_pretrain(args.pretrain)
+    trainer.train()
+    print("Training complete.")
+
+    if not args.no_test:
+        best = P.join(snap_root, "state_seg_max.pkl")
+        if P.isfile(best):
+            trainer.load_pretrain(best)
+            _final_test(graph, trainer.variables, hub, n_mo, nClass,
+                        P.join(snap_root, "seg_max"), args)
+        last = P.join(snap_root, "state_%04d.pkl" % args.max_epoch)
+        if P.isfile(last):
+            trainer.load_pretrain(last)
+            _final_test(graph, trainer.variables, hub, n_mo, nClass,
+                        P.join(snap_root, "seg_%04d" % args.max_epoch), args)
+    return snap_root
+
+
+def get_calibration_data(args, hub):
+    """One (or lwq_batchsz) center-cropped calibration volume(s) from the
+    sequential train loader (ptqer.py:83-111)."""
+    hub.trainseqloader.dataset.use_fix_transform()
+    it = iter(hub.trainseqloader)
+    for _ in range(args.lwq_dataid):
+        next(it)
+    if args.lwq_batchsz == 1:
+        img, label = next(it)
+        if args.lwq_patchsz:
+            crop_shape = [int(x) for x in args.lwq_patchsz.split(",")]
+        else:
+            crop_shape = [min(x, 192) // 64 * 64 for x in img.shape[-3:]]
+        img = center_crop(img, crop_shape)
+        label = center_crop(label, crop_shape)
+    else:
+        crop_shape = [int(x) for x in args.lwq_patchsz.split(",")]
+        imgs, labels = [], []
+        for _ in range(args.lwq_batchsz):
+            i2, l2 = next(it)
+            imgs.append(center_crop(i2, crop_shape))
+            labels.append(center_crop(l2, crop_shape))
+        img = np.concatenate(imgs, axis=0)
+        label = np.concatenate(labels, axis=0)
+    return img, label
+
+
+def ptq(args):
+    """PTQ mission (ptq_seg.py:7-32 + ptqer.do_ptq:282-387)."""
+    hub, data_info, nMod, nClass, patch_size = definer.get_data_cube(args)
+    cfg, model_info, n_mo = definer.get_model_config(args)
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+
+    qinfo = definer.qinfo_string(args)
+    snap_dir = definer.make_snapshot_dir(args, "exp_ptq", model_info, qinfo)
+
+    # load pretrained FP weights (torch or our pickle; ptq_seg.py:19-21)
+    assert args.pretrain, "PTQ requires --pretrain"
+    print("pretrain is :", args.pretrain)
+    try:
+        variables = torch_io.load_torch_checkpoint(graph, variables,
+                                                   args.pretrain)
+    except Exception:
+        import pickle
+
+        with open(args.pretrain, "rb") as f:
+            payload = pickle.load(f)
+        variables = torch_io.load_torch_state_dict(
+            graph, variables, payload["state_dict"])
+
+    img, label = get_calibration_data(args, hub)
+    calib_x = ops.ncdhw_to_ndhwc(jnp.asarray(img))
+    if args.lwq_verbose:
+        print("Calibration data shape:", img.shape)
+
+    # optional FP evaluation before quantization (ptqer.py:309-310)
+    if args.test_fp:
+        from ..ptq import fold_bn
+
+        fg, fv = fold_bn(graph, variables)
+        _final_test(fg, fv, hub, n_mo, nClass, P.join(snap_dir, "fp"), args)
+
+    hp = definer.get_lwq_hyperparams(args)
+    fgraph, qvars, report = run_ptq(
+        graph, variables, calib_x, task=args.task,
+        init_stride=definer.parse_triple(args.init_stride), hp=hp,
+        verbose=args.lwq_verbose)
+
+    print(f"FP forward costs {report.fp_forward_seconds:.3f}s, PTQ costs "
+          f"{report.calibration_seconds:.3f}s.")
+    with open(P.join(snap_dir, "time_cost.txt"), "w") as f:
+        f.write(report.time_cost_line())
+    with open(P.join(snap_dir, "layer_loss.txt"), "w") as f:
+        f.write("\n".join(report.layer_loss_lines()))
+    with open(P.join(snap_dir, "class_voxel_nums.txt"), "w") as f:
+        for n in report.class_voxel_nums:
+            f.write(f"{n}\n")
+
+    _dump_seg_niis(report, args.task, snap_dir)
+
+    if not args.no_test:
+        _final_test(fgraph, qvars, hub, n_mo, nClass, P.join(snap_dir, "ptq"),
+                    args, mode="quantized")
+
+    _save_quantized(fgraph, qvars, snap_dir)
+    return snap_dir
+
+
+def _dump_seg_niis(report, task, snap_dir):
+    """Side-by-side Q vs FP hard segmentations (ptqer.py:372-377)."""
+    from ..ptq.attention import hard_pred
+    from ..utils.nifti import save_nifti
+
+    for tag, out in (("Qseg", report.output_q), ("FPseg", report.output_fp)):
+        pred = np.asarray(hard_pred(out[-1], task)).astype(np.uint8)
+        for i in range(pred.shape[0]):
+            save_nifti(P.join(snap_dir, f"{tag}{i}.nii.gz"), pred[i])
+
+
+def _save_quantized(graph, variables, snap_dir):
+    """FP-valued, int8-packed and npz-compressed exports
+    (ptqer.py:383-387, PTQConv.store_int_weight)."""
+    import pickle
+
+    sd = torch_io.to_torch_state_dict(graph, variables)
+    with open(P.join(snap_dir, "state_in_fp.pkl"), "wb") as f:
+        pickle.dump({"state_dict": sd}, f)
+
+    sd_int = dict(sd)
+    for node in graph.qconv_nodes():
+        qcfg = node.attrs["qcfg"]
+        if not qcfg.q_weight:
+            continue
+        w = sd[f"{node.name}.weight"]
+        alpha = float(sd[f"{node.name}.alpha_w"])
+        sd_int[f"{node.name}.weight"] = pack_int_weight(w, alpha, qcfg.qlvl_w)
+    with open(P.join(snap_dir, "state_in_int8.pkl"), "wb") as f:
+        pickle.dump({"state_dict": sd_int}, f)
+    np.savez_compressed(P.join(snap_dir, "state_in_int8_compress.npz"),
+                        state_dict=sd_int)

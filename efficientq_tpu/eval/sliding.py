@@ -1,0 +1,112 @@
+"""Whole-volume sliding-window inference with overlap-average stitching.
+
+The reference splits a volume into overlapped patches on the host, runs the
+model patch-by-patch, and stitches on device with a sum/counter canvas
+(src/utils/transforms.py:786-854, src/utils/validate.py:235-240).
+
+TPU-first rewrite: the patch grid is static for a given volume shape, so the
+entire split -> batched-forward -> stitch pipeline is one jitted XLA
+computation per volume-shape signature.  Patches are gathered with static
+slices, run through the network in batches (a single leading batch axis that
+can be sharded across a device mesh), and accumulated into the canvas with
+static-slice adds.  Overlap weighting divides by the visit counter exactly
+like the reference (duplicated boundary patches included).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+
+
+def grid_starts(size: int, patch: int, overlap: int) -> List[int]:
+    """Start offsets along one axis, mirroring
+    ``l[0 : d-p : p-o] + [d-p]`` (utils/transforms.py:795-797) — including
+    the duplicate terminal start when (size - patch) lands on the grid."""
+    assert patch <= size, f"patch {patch} > size {size}"
+    return list(range(0, size - patch, patch - overlap)) + [size - patch]
+
+
+def patch_grid(vol_shape: Sequence[int], patch_size, overlap) -> List[Tuple[int, int, int]]:
+    patch_size = ops.triple(patch_size)
+    overlap = ops.triple(overlap)
+    d, h, w = vol_shape
+    return [
+        (i, j, k)
+        for i in grid_starts(d, patch_size[0], overlap[0])
+        for j in grid_starts(h, patch_size[1], overlap[1])
+        for k in grid_starts(w, patch_size[2], overlap[2])
+    ]
+
+
+def extract_patches(image: jax.Array, starts, patch_size) -> jax.Array:
+    """(N, D, H, W, C) -> (P, N, pd, ph, pw, C) with static starts."""
+    pd, ph, pw = patch_size
+    patches = [image[:, i:i + pd, j:j + ph, k:k + pw, :] for i, j, k in starts]
+    return jnp.stack(patches)
+
+
+def stitch_patches(preds: jax.Array, starts, vol_shape) -> jax.Array:
+    """(P, M, N, pd, ph, pw, C) -> (M, N, D, H, W, C), overlap-averaged."""
+    P, M, N, pd, ph, pw, C = preds.shape
+    d, h, w = vol_shape
+    canvas = jnp.zeros((M, N, d, h, w, C), preds.dtype)
+    counter = jnp.zeros((d, h, w), jnp.float32)
+    for idx, (i, j, k) in enumerate(starts):
+        canvas = canvas.at[:, :, i:i + pd, j:j + ph, k:k + pw, :].add(preds[idx])
+        counter = counter.at[i:i + pd, j:j + ph, k:k + pw].add(1.0)
+    return canvas / counter[None, None, :, :, :, None]
+
+
+def sliding_window_inference(
+    model_fn: Callable[[jax.Array], jax.Array],
+    image: jax.Array,
+    patch_size,
+    overlap,
+    patch_batch: int = 1,
+) -> jax.Array:
+    """Run ``model_fn`` ((B, pd, ph, pw, C) -> (M, B, pd, ph, pw, C_out))
+    over the overlapped patch grid of ``image`` (N, D, H, W, C) and stitch.
+
+    Returns (M, N, D, H, W, C_out).  The patch axis is processed in chunks of
+    ``patch_batch`` (the final chunk may be smaller).  Wrap in jit per
+    volume-shape signature for full fusion.
+    """
+    patch_size = ops.triple(patch_size)
+    vol_shape = image.shape[1:4]
+    starts = patch_grid(vol_shape, patch_size, overlap)
+    patches = extract_patches(image, starts, patch_size)
+    P, N = patches.shape[0], patches.shape[1]
+    flat = patches.reshape(P * N, *patches.shape[2:])
+
+    outs = []
+    for s in range(0, P * N, patch_batch):
+        chunk = flat[s:s + patch_batch]
+        outs.append(model_fn(chunk))
+    out = jnp.concatenate(outs, axis=1)  # (M, P*N, pd, ph, pw, C)
+    M = out.shape[0]
+    out = out.reshape(M, P, N, *out.shape[2:]).transpose(1, 0, 2, 3, 4, 5, 6)
+    return stitch_patches(out, starts, vol_shape)
+
+
+def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
+                                  precision=None):
+    """Returns infer(variables, image, patch_size, overlap) jitted per
+    (volume shape, patch size) signature."""
+    from .. import nnir
+
+    @partial(jax.jit, static_argnames=("patch_size", "overlap"))
+    def infer(variables, image, patch_size, overlap):
+        def model_fn(xb):
+            return nnir.apply(graph, variables, xb, mode=mode,
+                              precision=precision)
+
+        return sliding_window_inference(model_fn, image, patch_size, overlap,
+                                        patch_batch)
+
+    return infer

@@ -1,0 +1,129 @@
+"""Whole-volume validation: sliding-window inference + per-head metrics.
+
+Mirrors validate_seg / inference (src/utils/validate.py:212-303): for each
+volume, split -> batched forward -> stitch (all on device, eval/sliding.py),
+then per deep-supervision head and per subject accumulate metrics; the last
+head optionally exports NIfTI segmentations with the source affine/header
+and shape restoration.
+"""
+from __future__ import annotations
+
+import os
+import os.path as P
+from typing import Callable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from .metrics import SegMetricMC
+from .sliding import make_jitted_volume_inferencer
+
+
+def validate_seg(
+    graph,
+    variables,
+    loader,
+    sn_list: Optional[List[str]],
+    num_mo: int,
+    n_class: int,
+    *,
+    patch_size,
+    overlap,
+    mode: str = "fp",
+    save_dir: Optional[str] = None,
+    is_cc: bool = False,
+    sn_fn_dict=None,
+    restore_shape_func=None,
+    restore_infokw=None,
+    merge_label_func=None,
+    multilabel_fusetype=None,
+    patch_batch: int = 2,
+    precision=None,
+) -> List[SegMetricMC]:
+    """Evaluate on a loader of (N, C, D, H, W) numpy batches.
+
+    Returns one SegMetricMC per head (index -1 = final output), like
+    validate_seg at src/utils/validate.py:212-264.
+    """
+    sm = [SegMetricMC(n_class, sn_list, is_cc=is_cc) for _ in range(num_mo)]
+    infer = make_jitted_volume_inferencer(graph, patch_batch=patch_batch,
+                                          mode=mode, precision=precision)
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+    sn_counter = -1
+    for images, masks in iter(loader):
+        x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
+        preds = infer(variables, x, tuple(ops.triple(patch_size)),
+                      tuple(ops.triple(overlap)))
+        preds = np.asarray(preds)  # (M, N, D, H, W, C)
+        M, N = preds.shape[:2]
+        for j in range(N):
+            sn_counter += 1
+            for i in range(-num_mo, 0):
+                seg_out = np.moveaxis(preds[i, j], -1, 0)  # (C, D, H, W)
+                label = np.asarray(masks[j])
+                pred = sm[i].evaluate_append(
+                    seg_out, label, multilabel_fusetype=multilabel_fusetype)
+                if save_dir and i == -1:
+                    _save_nii(pred, sn_list, sn_counter, sn_fn_dict, save_dir,
+                              merge_label_func, multilabel_fusetype,
+                              restore_shape_func, restore_infokw)
+    return sm
+
+
+def _save_nii(pred, sn_list, idx, sn_fn_dict, save_dir, merge_label_func,
+              multilabel_fusetype, restore_shape_func, restore_infokw,
+              suffix=""):
+    from ..utils.nifti import load_nifti, save_nifti
+
+    assert sn_fn_dict, "Please specify SN to filename mapping."
+    sn = sn_list[idx]
+    seg = pred
+    if merge_label_func:
+        seg = merge_label_func(seg, multilabel_fusetype)
+    seg = np.asarray(seg)
+    if restore_shape_func:
+        seg = restore_shape_func(seg, **restore_infokw[sn])
+    try:
+        affine = load_nifti(sn_fn_dict[sn]).affine
+    except Exception:
+        affine = np.eye(4)
+    save_nifti(P.join(save_dir, f"{sn}{suffix}.nii.gz"),
+               seg.astype(np.uint16), affine)
+
+
+def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
+              overlap, sn_fn_dict=None, suffix="_seg", mode="fp",
+              restore_shape_func=None, restore_infokw=None,
+              merge_label_func=None, multilabel_fusetype=None,
+              patch_batch: int = 2):
+    """Label-free inference + NIfTI export (validate.py:266-303)."""
+    if not save_dir:
+        print("No save directory specified for final true test inference!")
+        return
+    os.makedirs(save_dir, exist_ok=True)
+    infer = make_jitted_volume_inferencer(graph, patch_batch=patch_batch,
+                                          mode=mode)
+    sn_counter = -1
+    for images, _ in iter(loader):
+        x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
+        preds = np.asarray(infer(variables, x, tuple(ops.triple(patch_size)),
+                                 tuple(ops.triple(overlap))))
+        for j in range(preds.shape[1]):
+            sn_counter += 1
+            seg_out = np.moveaxis(preds[-1, j], -1, 0)
+            if merge_label_func:
+                pred = (1 / (1 + np.exp(-seg_out)) >= 0.5).astype(np.int32)
+            else:
+                pred = np.argmax(seg_out, axis=0)
+            _save_nii(pred, sn_list, sn_counter, sn_fn_dict, save_dir,
+                      merge_label_func, multilabel_fusetype,
+                      restore_shape_func, restore_infokw, suffix)
+
+
+def restore_crop(crop, pmin, pmax, shape):
+    """Undo a crop back to the original volume shape (misc.py:162-171)."""
+    image = np.zeros(shape, dtype=crop.dtype)
+    image[pmin[0]:pmax[0], pmin[1]:pmax[1], pmin[2]:pmax[2]] = crop
+    return image

@@ -1,0 +1,109 @@
+"""Pallas TPU kernels for the quantized inference hot path.
+
+The quantized forward's elementwise prologue (activation fake-quant) is fused
+into the matmul here instead of being a separate HBM round-trip: one kernel
+reads the activation tile, snaps it to the alpha_act grid on the VPU, and
+feeds the MXU immediately.
+
+``fused_qact_matmul`` covers every 1x1x1 quantized conv (the transition,
+projection and classifier convs — a large fraction of UResQ's layers): a
+(M, K) x (K, N) tiled matmul with the quantize prologue and bias epilogue in
+VMEM.  3x3x3 convs stay on XLA's conv (already MXU-optimal); their act-quant
+is a trivial fusible elementwise op.
+
+All kernels run under ``interpret=True`` on CPU for tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; absent on CPU-only installs
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _qact_matmul_kernel(alpha_ref, x_ref, w_ref, b_ref, o_ref, *, qlvl_act):
+    alpha = alpha_ref[0]
+    x = x_ref[:]
+    # discretize(x/alpha, qlvl, 0, 1) * alpha  (quant.py:discretize)
+    delta = 1.0 / (qlvl_act - 1)
+    xq = jnp.clip(x / alpha, 0.0, 1.0)
+    xq = jnp.round(xq / delta) * delta * alpha
+    acc = jnp.dot(xq, w_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = acc + b_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("qlvl_act", "tile_m", "interpret"))
+def fused_qact_matmul(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array],
+    alpha_act,
+    qlvl_act: int,
+    tile_m: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """y = fake_quant_act(x) @ w + bias, fused in one Pallas kernel.
+
+    x: (M, K) float32, w: (K, N) float32 (already holding quantized values
+    post-PTQ), bias: (N,) or None.
+    """
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2
+    if bias is None:
+        bias = jnp.zeros((N,), x.dtype)
+
+    Mp = _round_up(M, tile_m)
+    Np = _round_up(N, 128)
+    Kp = _round_up(K, 128)
+    xp = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
+    wp = jnp.pad(w, ((0, Kp - K), (0, Np - N)))
+    bp = jnp.pad(bias, (0, Np - N))[None, :]
+    alpha = jnp.reshape(jnp.asarray(alpha_act, jnp.float32), (1,))
+
+    grid = (Mp // tile_m,)
+    kernel = functools.partial(_qact_matmul_kernel, qlvl_act=qlvl_act)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM) if _HAS_PLTPU and not interpret
+            else pl.BlockSpec((1,), lambda i: (0,)),
+            pl.BlockSpec((tile_m, Kp), lambda i: (i, 0)),
+            pl.BlockSpec((Kp, Np), lambda i: (0, 0)),
+            pl.BlockSpec((1, Np), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, Np), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        interpret=interpret,
+    )(alpha, xp, wp, bp)
+    return out[:M, :N]
+
+
+def qconv1x1_ndhwc(x, kernel_dhwio, bias, alpha_act, qlvl_act,
+                   interpret: bool = False):
+    """Quantized-inference 1x1x1 conv via the fused Pallas matmul.
+
+    x: (N, D, H, W, C); kernel: (1, 1, 1, C, O).
+    """
+    n, d, h, w, c = x.shape
+    o = kernel_dhwio.shape[-1]
+    flat = x.reshape(-1, c)
+    wmat = kernel_dhwio.reshape(c, o)
+    y = fused_qact_matmul(flat, wmat, bias, alpha_act, qlvl_act,
+                          interpret=interpret)
+    return y.reshape(n, d, h, w, o)

@@ -1,0 +1,124 @@
+"""Multi-chip scaling: device mesh + sharding helpers.
+
+The reference is strictly single-GPU (SURVEY.md §2.2 — no torch.distributed
+anywhere); multi-device execution here is a new TPU-native capability built
+on ``jax.sharding``:
+
+- data parallelism: shard the batch axis of the train step across the mesh;
+  XLA inserts the gradient all-reduce over ICI automatically.
+- eval "spatial parallelism": the sliding-window patch grid of a whole
+  volume is a batch of patches — shard that axis the same way.
+
+Everything is a sharding annotation on the same single-program jitted
+functions; no collectives are written by hand.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """First-axis (batch) sharding; everything else replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, arr, axis_name: str = "data"):
+    """Place ``arr`` with its leading axis sharded across the mesh (pads are
+    the caller's responsibility: leading dim must divide the mesh size)."""
+    return jax.device_put(arr, batch_sharding(mesh, axis_name))
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def data_parallel_train_step(graph, optimizer, loss_fn, head_w, mesh,
+                             axis_name: str = "data"):
+    """Build a jitted data-parallel train step.
+
+    The step body is identical to the single-chip one (train/trainer.py);
+    sharding constraints on (x, y) put the batch across the mesh and XLA
+    derives the psum for gradients.
+    """
+    import jax.numpy as jnp
+
+    from .. import nnir
+    from ..train.losses import multi_output_loss
+
+    xsh = batch_sharding(mesh, axis_name)
+    rsh = replicated(mesh)
+
+    def loss_and_state(params, state, x, y, rng):
+        out, new_state = nnir.apply(graph, {"params": params, "state": state},
+                                    x, train=True, rng=rng)
+        out_ncdhw = jnp.moveaxis(out, -1, 2)
+        total, arr = multi_output_loss(loss_fn, head_w, out_ncdhw, y)
+        return total, (new_state, arr)
+
+    @jax.jit
+    def step(params, state, opt_state, x, y, rng):
+        x = jax.lax.with_sharding_constraint(x, xsh)
+        y = jax.lax.with_sharding_constraint(y, xsh)
+        params = jax.lax.with_sharding_constraint(
+            params, jax.tree.map(lambda _: rsh, params))
+        (loss, (new_state, arr)), grads = jax.value_and_grad(
+            loss_and_state, has_aux=True)(params, state, x, y, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, {**state, **new_state}, opt_state, loss, arr
+
+    return step
+
+
+def shard_patch_inference(graph, mesh, variables, image, patch_size, overlap,
+                          mode: str = "fp", axis_name: str = "data",
+                          precision=None):
+    """Whole-volume sliding-window inference with the patch grid sharded
+    across the mesh (the reference's long-axis analogue, SURVEY.md §2.2).
+
+    Pads the patch batch to a multiple of the mesh size, runs all patches in
+    one sharded forward, drops the padding, stitches on host device 0.
+    """
+    import jax.numpy as jnp
+
+    from .. import nnir, ops
+    from ..eval.sliding import extract_patches, patch_grid, stitch_patches
+
+    patch_size = ops.triple(patch_size)
+    vol_shape = image.shape[1:4]
+    starts = patch_grid(vol_shape, patch_size, overlap)
+    patches = extract_patches(image, starts, patch_size)  # (P, N, ...)
+    Pn, N = patches.shape[0], patches.shape[1]
+    flat = patches.reshape(Pn * N, *patches.shape[2:])
+    n_dev = mesh.devices.size
+    pad = (-flat.shape[0]) % n_dev
+    if pad:
+        flat = jnp.concatenate([flat, jnp.repeat(flat[:1], pad, axis=0)])
+    flat = jax.device_put(np.asarray(flat), batch_sharding(mesh, axis_name))
+    var_r = replicate(mesh, variables)
+
+    @jax.jit
+    def fwd(v, xb):
+        return nnir.apply(graph, v, xb, mode=mode, precision=precision)
+
+    out = fwd(var_r, flat)  # (M, P*N+pad, pd, ph, pw, C)
+    out = out[:, :Pn * N]
+    M = out.shape[0]
+    out = out.reshape(M, Pn, N, *out.shape[2:]).transpose(1, 0, 2, 3, 4, 5, 6)
+    return stitch_patches(jax.device_get(out), starts, vol_shape)

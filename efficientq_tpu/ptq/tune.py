@@ -1,0 +1,69 @@
+"""End-to-end activation-range tuning.
+
+Mirrors tune_activation_range (src/ptqer.py:238-272): after (or instead of)
+per-layer calibration, the alpha_act scales of every quantized conv are
+optimized jointly by Adam on the whole-network reconstruction MSE against
+the FP output.  The STE gradient of the fake-quantizer makes alpha_act
+differentiable.
+
+Functional form: one jitted update step over the dict of alpha scalars;
+the rest of the variables are closed over.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import nnir
+from ..nnir import Graph
+
+
+def tune_activation_range(
+    graph: Graph,
+    variables,
+    calib_x: jax.Array,
+    output_fp: jax.Array,
+    max_iter: int = 1000,
+    lr: float = 5e-4,
+) -> Tuple[Dict, List[float]]:
+    """Returns (updated variables, loss history).
+
+    ``variables`` should be post-PTQ (quantized kernels stored); the model
+    is evaluated in 'quantized' mode so only alpha_act affects the output.
+    """
+    params = {k: dict(v) for k, v in variables["params"].items()}
+    state = variables.get("state", {})
+
+    act_nodes = [n.name for n in graph.qconv_nodes()
+                 if n.attrs["qcfg"].q_act]
+    alphas = {name: params[name]["alpha_act"] for name in act_nodes}
+
+    def loss_fn(alphas):
+        p2 = {k: dict(v) for k, v in params.items()}
+        for name, a in alphas.items():
+            p2[name]["alpha_act"] = a
+        out = nnir.apply(graph, {"params": p2, "state": state}, calib_x,
+                         mode="quantized")
+        return jnp.mean((out - output_fp) ** 2)
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(alphas)
+
+    @jax.jit
+    def step(alphas, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(alphas)
+        updates, opt_state = opt.update(grads, opt_state)
+        alphas = optax.apply_updates(alphas, updates)
+        return alphas, opt_state, loss
+
+    losses = []
+    for _ in range(max_iter):
+        alphas, opt_state, loss = step(alphas, opt_state)
+        losses.append(float(loss))
+
+    for name, a in alphas.items():
+        params[name]["alpha_act"] = a
+    return {"params": params, "state": state}, losses

@@ -1,0 +1,235 @@
+"""FP training engine.
+
+Mirrors src/utils/trainer.py: epoch loop with display/test intervals,
+per-iteration jitted train step (forward + deep-supervision loss + backward
++ value-clipped Adam + poly/warmup LR), online validation with best-metric
+('seg_max') tracking after epoch 10, latest/periodic snapshots, loss.txt /
+seg_metric.txt sinks, resume, and a final compressed export.
+
+TPU-first: the train step is one jitted function carrying (params, state,
+opt_state); multi-chip data parallelism shards the batch axis via
+jax.sharding (parallel/mesh.py) — the same step function runs on 1 or N
+devices.
+"""
+from __future__ import annotations
+
+import os
+import os.path as P
+import pickle
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import nnir, ops
+from ..eval.validate import validate_seg
+from ..models import torch_io
+from .losses import get_loss, head_loss_weights, multi_output_loss
+from .schedule import make_optimizer
+
+
+class Trainer:
+    def __init__(self, graph, variables, data_cube, *, loss_name: str,
+                 num_mo: int, n_class: int, base_lr: float, max_epoch: int,
+                 snapshot_root: str, weight_decay: float = 0.0,
+                 warmup_epochs: int = 1, test_interval: int = 50,
+                 display_interval: int = 10, multilabel_fusetype=None,
+                 seed: int = 0, mesh=None, check_nan: bool = False):
+        self.graph = graph
+        self.variables = variables
+        self.data = data_cube
+        self.num_mo = num_mo
+        self.n_class = n_class
+        self.max_epoch = max_epoch
+        self.root = snapshot_root
+        self.test_interval = test_interval
+        self.display_interval = display_interval
+        self.multilabel_fusetype = multilabel_fusetype
+        self.check_nan = check_nan
+        os.makedirs(snapshot_root, exist_ok=True)
+
+        iters_per_epoch = max(len(data_cube.trainloader), 1)
+        total = iters_per_epoch * max_epoch
+        self.optimizer, self.schedule = make_optimizer(
+            base_lr, total, warmup_epochs * iters_per_epoch, weight_decay)
+        self.opt_state = self.optimizer.init(self.variables["params"])
+        self.loss_fn = get_loss(loss_name)
+        self.head_w = head_loss_weights(num_mo)
+        self.rng = jax.random.PRNGKey(seed)
+        self.step_idx = 0
+        self.epoch = 0
+        self.start_epoch = 1
+        self.max_seg_metric_val = 0.0
+        self.mesh = mesh
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        graph = self.graph
+        loss_fn = self.loss_fn
+        head_w = self.head_w
+        optimizer = self.optimizer
+
+        def loss_and_state(params, state, x, y, rng):
+            out, new_state = nnir.apply(
+                graph, {"params": params, "state": state}, x, train=True,
+                rng=rng)
+            # heads stacked (M, N, D, H, W, C) -> reference layout (M,N,C,...)
+            out_ncdhw = jnp.moveaxis(out, -1, 2)
+            total, arr = multi_output_loss(loss_fn, head_w, out_ncdhw, y)
+            return total, (new_state, arr)
+
+        @jax.jit
+        def step(params, state, opt_state, x, y, rng, step_idx):
+            (loss, (new_state, arr)), grads = jax.value_and_grad(
+                loss_and_state, has_aux=True)(params, state, x, y, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            merged_state = {**state, **new_state}
+            return params, merged_state, opt_state, loss, arr
+
+        return step
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> Dict[str, float]:
+        loss_buf, arr_buf = [], []
+        for images, masks in iter(self.data.trainloader):
+            x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
+            y = jnp.asarray(masks)
+            self.rng, sub = jax.random.split(self.rng)
+            p, s, o, loss, arr = self._train_step(
+                self.variables["params"], self.variables["state"],
+                self.opt_state, x, y, sub, self.step_idx)
+            self.variables = {"params": p, "state": s}
+            self.opt_state = o
+            self.step_idx += 1
+            lv = float(loss)
+            if self.check_nan and not np.isfinite(lv):
+                print("NaN")
+            loss_buf.append(lv)
+            arr_buf.append(np.asarray(arr))
+        loss_dict = {"loss": float(np.mean(loss_buf))}
+        arr_mean = np.mean(np.stack(arr_buf), axis=0)
+        for i in range(-len(arr_mean), 0):
+            loss_dict[f"loss/{i}"] = float(arr_mean[i])
+        return loss_dict
+
+    def current_lr(self) -> float:
+        return float(self.schedule(self.step_idx))
+
+    # ------------------------------------------------------------------
+    def validate_online(self, epoch: int, seg_metricF=None) -> Dict[str, float]:
+        metric_dict: Dict[str, float] = {}
+        for split, loader, sns in (("val", self.data.valloader, self.data.val_sn),
+                                   ("test", self.data.testloader,
+                                    self.data.test_sn)):
+            if loader is None:
+                continue
+            sm = validate_seg(
+                self.graph, self.variables, loader, sns, self.num_mo,
+                self.n_class, patch_size=self.data.slide_patch_size,
+                overlap=self.data.slide_overlap,
+                merge_label_func=self.data.merge_label_func,
+                multilabel_fusetype=self.multilabel_fusetype)
+            m = sm[-1].get_metric()
+            for k, v in m.items():
+                metric_dict[f"{split}/seg_{k}"] = v
+            if split == "val" and seg_metricF is not None:
+                sm[-1].write_csv(epoch, seg_metricF)
+                seg_metricF.flush()
+        return metric_dict
+
+    # ------------------------------------------------------------------
+    def train(self):
+        loss_all = []
+        lossF = open(P.join(self.root, "loss.txt"), "a")
+        seg_metricF = open(P.join(self.root, "seg_metric.txt"), "a")
+        start = time.time()
+        try:
+            for epoch in range(self.start_epoch, self.max_epoch + 1):
+                loss_dict = self.train_epoch()
+                loss_all.append(loss_dict["loss"])
+                self.epoch = epoch
+                if epoch % self.display_interval == 0 or epoch == self.start_epoch:
+                    N = self.display_interval
+                    avg = float(np.mean(loss_all[-N:]))
+                    el = time.time() - start
+                    print(f"Epoch {epoch}: loss = {avg:.5f}, "
+                          f"lr = {self.current_lr():.5e}, elapsed {el:.0f}s")
+                    lossF.write("%d,%.7f\n" % (epoch, avg))
+                    lossF.flush()
+                if epoch % self.test_interval == 0 or epoch == self.start_epoch:
+                    metric_dict = self.validate_online(epoch, seg_metricF)
+                    val_dsc = metric_dict.get("val/seg_dsc", 0.0)
+                    self.snapshot(epoch, "latest")
+                    if self.max_seg_metric_val < val_dsc and epoch > 10:
+                        self.max_seg_metric_val = val_dsc
+                        self.snapshot(epoch, "seg_max")
+        except KeyboardInterrupt:
+            self.snapshot(self.epoch, "KeyboardInterrupt")
+            raise
+        finally:
+            lossF.close()
+            seg_metricF.close()
+        self.snapshot(self.max_epoch)
+        self.final_snap("FP")
+
+    # ------------------------------------------------------------------
+    # checkpointing (trainer.py:427-481)
+    def snapshot(self, epoch: int, name: Optional[str] = None):
+        payload = {
+            "epoch": epoch,
+            "state_dict": torch_io.to_torch_state_dict(self.graph,
+                                                       self.variables),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "step_idx": self.step_idx,
+            "max_metric": self.max_seg_metric_val,
+        }
+        fname = (P.join(self.root, "state_%04d.pkl" % epoch) if name is None
+                 else P.join(self.root, "state_%s.pkl" % name))
+        with open(fname, "wb") as f:
+            pickle.dump(payload, f)
+        return fname
+
+    def resume(self, path: str):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.variables = torch_io.load_torch_state_dict(
+            self.graph, self.variables, payload["state_dict"])
+        if "opt_state" in payload:
+            self.opt_state = jax.tree.map(
+                jnp.asarray, payload["opt_state"],
+                is_leaf=lambda x: isinstance(x, np.ndarray))
+        self.step_idx = payload.get("step_idx", 0)
+        self.max_seg_metric_val = payload.get("max_metric", 0.0)
+        self.start_epoch = payload["epoch"] + 1
+
+    def load_pretrain(self, path: str):
+        if path.endswith(".pkl") and _is_torch_pickle(path):
+            self.variables = torch_io.load_torch_checkpoint(
+                self.graph, self.variables, path)
+        else:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+            self.variables = torch_io.load_torch_state_dict(
+                self.graph, self.variables, payload["state_dict"])
+
+    def final_snap(self, name: str):
+        """Compressed npz export; near-ternary conv weights cast to int8
+        (trainer.py:470-481)."""
+        sd = torch_io.to_torch_state_dict(self.graph, self.variables)
+        sdx = {}
+        for k, v in sd.items():
+            if "conv.weight" in k and len(np.unique(v)) <= 3 and v.max() != 0:
+                v = (v / np.abs(v).max()).astype(np.int8)
+            sdx[k] = v
+        np.savez_compressed(P.join(self.root, f"state_{name}"), state_dict=sdx)
+
+
+def _is_torch_pickle(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(8)
+    return head[:2] in (b"PK", b"\x80\x02") or head.startswith(b"PK")

@@ -1,0 +1,84 @@
+"""Full CLI end-to-end: train_fp then ptq on a synthetic LiTS-like dataset
+through the entrance.py argument surface (the reference's usage pattern,
+README.md:40-52)."""
+import glob
+import json
+import os
+import os.path as P
+
+import numpy as np
+import pytest
+
+from efficientq_tpu.cli.entrance import build_parser, main, merge_config
+from efficientq_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir, split_dir = make_synthetic_dataset(
+        str(root), task="lits", n_subjects=4, vol_shape=(16, 16, 16))
+    return str(root), data_dir, split_dir
+
+
+TINY_MODEL = [
+    "--width", "4,8,4", "--depth", "1,1,1", "--dilation", "1,1,1",
+    "--init_stride", "2,2,1", "--blk", "mid", "--ds", "simple",
+    "--hetero_dim", "--drop_rate", "0.0", "--nMod", "1", "--nClass", "3",
+]
+
+
+def test_parser_accepts_reference_flags():
+    p = build_parser()
+    args = p.parse_args(["ptq", "--qlvl_w", "4", "--qlvl_a", "4",
+                         "--round", "1", "--q_first", "256,-1"])
+    assert args.mission == "ptq" and args.qlvl_w == 4
+
+
+def test_yaml_merge_overrides_cli(tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("task: lits\nbatch_size: 7\nunset_key:\n")
+    p = build_parser()
+    args = p.parse_args(["train_fp", "--task", "brats", "--batch_size", "2"])
+    args = merge_config(str(cfg), args)
+    assert args.task == "lits" and args.batch_size == 7  # YAML wins
+
+
+def test_train_then_ptq_cli(workdir, monkeypatch):
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+
+    snap = main([
+        "train_fp", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1",
+        "--patch_size", "8,8,8", "--batch_size", "2", "--crop_type",
+        "random", "--loss", "hybrid", "--lr", "0.01", "--max_epoch", "3",
+        "--test_interval", "3", "--disp_interval", "1",
+        "--access_type", "npy", "--no_test", *TINY_MODEL,
+    ])
+    ckpts = glob.glob(P.join(snap, "state_0003.pkl"))
+    assert ckpts, os.listdir(snap)
+    assert P.isfile(P.join(snap, "loss.txt"))
+    assert P.isfile(P.join(snap, "cmd.txt"))
+
+    snap_ptq = main([
+        "ptq", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--pretrain", ckpts[0],
+        "--patch_size", "8,8,8", "--access_type", "npy",
+        "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
+        "--q_first", "256,-1", "--q_last", "256,-1",
+        "--lwq_patchsz", "16,16,16", "--lwq_iter", "10", *TINY_MODEL,
+    ])
+    # reference artifact set (ptqer.py:366-387)
+    for fname in ("time_cost.txt", "layer_loss.txt", "class_voxel_nums.txt",
+                  "state_in_fp.pkl", "state_in_int8.pkl",
+                  "state_in_int8_compress.npz", "cmd.txt"):
+        assert P.isfile(P.join(snap_ptq, fname)), fname
+    assert glob.glob(P.join(snap_ptq, "Qseg*.nii.gz"))
+    assert glob.glob(P.join(snap_ptq, "FPseg*.nii.gz"))
+    # eval ran and produced the per-split metric files
+    assert P.isfile(P.join(snap_ptq, "ptq", "val_seg.txt"))
+    with open(P.join(snap_ptq, "layer_loss.txt")) as f:
+        lines = f.read().splitlines()
+    assert len(lines) > 5
+    assert all(":" in l for l in lines)

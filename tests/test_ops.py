@@ -68,8 +68,8 @@ def test_batchnorm_eval_vs_torch():
         bn.running_mean.copy_(torch.from_numpy(rand((7,), 11)))
         bn.running_var.copy_(torch.from_numpy(np.abs(rand((7,), 12)) + 0.5))
         ref = bn(torch.from_numpy(x).permute(0, 4, 1, 2, 3))
-    got = ops.batch_norm(jnp.asarray(x), jnp.asarray(bn.weight.numpy()),
-                         jnp.asarray(bn.bias.numpy()),
+    got = ops.batch_norm(jnp.asarray(x), jnp.asarray(bn.weight.detach().numpy()),
+                         jnp.asarray(bn.bias.detach().numpy()),
                          jnp.asarray(bn.running_mean.numpy()),
                          jnp.asarray(bn.running_var.numpy()))
     np.testing.assert_allclose(np.asarray(ops.ndhwc_to_ncdhw(got)), ref.numpy(),

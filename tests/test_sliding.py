@@ -1,0 +1,64 @@
+"""Sliding-window inference: grid semantics + stitch correctness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientq_tpu.eval.sliding import (grid_starts, patch_grid,
+                                         sliding_window_inference)
+
+
+def test_grid_starts_matches_reference_rule():
+    # l[0 : d-p : p-o] + [d-p] (utils/transforms.py:795-797)
+    assert grid_starts(240, 128, 16) == [0, 112]
+    assert grid_starts(155, 128, 16) == [0, 27]
+    assert grid_starts(128, 128, 16) == [0]
+    assert grid_starts(130, 64, 16) == [0, 48, 66]
+
+
+def test_stitch_identity_model():
+    """With the identity model, overlap-averaged stitching must reconstruct
+    the input exactly."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 20, 18, 16, 3).astype(np.float32))
+
+    def model_fn(xb):  # (B, pd, ph, pw, C) -> (1, B, ...)
+        return xb[None]
+
+    out = sliding_window_inference(model_fn, x, (8, 8, 8), (4, 4, 4),
+                                   patch_batch=3)
+    assert out.shape == (1, 1, 20, 18, 16, 3)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x), atol=1e-5)
+
+
+def test_stitch_counts_overlaps_like_reference():
+    """Constant-one model: average of ones is one everywhere regardless of
+    visit counts (including duplicated terminal patches)."""
+    x = jnp.zeros((1, 17, 9, 9, 1))
+
+    def model_fn(xb):
+        return jnp.ones((2,) + xb.shape[:-1] + (4,))
+
+    out = sliding_window_inference(model_fn, x, (8, 8, 8), (4, 4, 4),
+                                   patch_batch=2)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+def test_patch_grid_covers_volume():
+    starts = patch_grid((30, 20, 10), (8, 8, 8), (2, 2, 2))
+    cover = np.zeros((30, 20, 10), bool)
+    for i, j, k in starts:
+        cover[i:i + 8, j:j + 8, k:k + 8] = True
+    assert cover.all()
+
+
+def test_jitted_inference_under_jit():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 12, 12, 12, 2).astype(np.float32))
+
+    def model_fn(xb):
+        return (2.0 * xb)[None]
+
+    f = jax.jit(lambda im: sliding_window_inference(model_fn, im, (8, 8, 8),
+                                                    (4, 4, 4), 4))
+    out = f(x)
+    np.testing.assert_allclose(np.asarray(out[0]), 2 * np.asarray(x), atol=1e-5)
