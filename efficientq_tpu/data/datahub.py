@@ -106,6 +106,11 @@ class DataHub:
                     transform_rand=train_tf, transform_fix=test_tf)
             self.trainloader = Loader(ds, train_batchsize, shuffle=True,
                                       seed=seed)
+            if num_workers and num_workers > 0:
+                from .prefetch import PrefetchLoader
+
+                self.trainloader = PrefetchLoader(self.trainloader,
+                                                  depth=min(num_workers, 4))
             self.trainseqloader = Loader(ds, test_batchsize, shuffle=False)
         if exists(val_split):
             self.val_sn = read_split(val_split)

@@ -1,0 +1,115 @@
+"""ctypes bindings for the native host-side runtime (native/effq_native.cpp),
+with transparent NumPy fallbacks.
+
+Auto-builds the shared library with g++ on first use (cached); every entry
+point degrades to an equivalent NumPy implementation when the toolchain or
+library is unavailable, so the framework stays pure-Python-capable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import os.path as P
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LOCK = threading.Lock()
+_NATIVE_DIR = P.join(P.dirname(P.dirname(P.dirname(P.abspath(__file__)))),
+                     "native")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is not None:
+        return _LIB if _LIB is not False else None
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB if _LIB is not False else None
+        so = P.join(_NATIVE_DIR, "libeffq_native.so")
+        try:
+            if not P.isfile(so):
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True, timeout=120)
+            lib = ctypes.CDLL(so)
+            lib.sample_value_voxel.restype = ctypes.c_int64
+            lib.sample_value_voxel.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint8,
+                ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64)]
+            lib.sample_not_value_voxel.restype = ctypes.c_int64
+            lib.sample_not_value_voxel.argtypes = lib.sample_value_voxel.argtypes
+            lib.count_value.restype = ctypes.c_int64
+            lib.count_value.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_uint8]
+            lib.zoom3d_linear.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64]
+            lib.zoom3d_nearest_u8.argtypes = lib.zoom3d_linear.argtypes
+            _LIB = lib
+        except Exception:
+            _LIB = False
+            return None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def sample_mask_voxel(mask: np.ndarray, positive: bool,
+                      seed: int) -> Tuple[int, Optional[Tuple[int, ...]]]:
+    """Reservoir-sample a voxel where mask!=0 (positive) or mask==0.
+
+    Returns (count, index_tuple or None).  mask: bool/uint8 array.
+    """
+    m = np.ascontiguousarray(mask.astype(np.uint8, copy=False))
+    lib = _load()
+    if lib is not None:
+        out = ctypes.c_int64(-1)
+        fn = lib.sample_not_value_voxel if positive else lib.sample_value_voxel
+        # positive: mask != 0; negative: mask == 0
+        count = fn(m.ctypes.data_as(ctypes.c_void_p), m.size,
+                   ctypes.c_uint8(0), ctypes.c_uint64(seed or 1),
+                   ctypes.byref(out))
+        if count == 0:
+            return 0, None
+        return int(count), tuple(int(v) for v in
+                                 np.unravel_index(out.value, m.shape))
+    # fallback
+    locs = np.argwhere(m != 0 if positive else m == 0)
+    if len(locs) == 0:
+        return 0, None
+    rng = np.random.default_rng(seed)
+    return len(locs), tuple(int(v) for v in locs[rng.integers(0, len(locs))])
+
+
+def zoom3d(src: np.ndarray, out_shape: Tuple[int, int, int],
+           order: int) -> np.ndarray:
+    """Resample a 3-D volume to ``out_shape`` (order 0 = nearest for labels,
+    order 1 = trilinear). Native when possible, scipy otherwise."""
+    lib = _load()
+    dd, dh, dw = out_shape
+    if lib is not None and order == 1 and src.dtype == np.float32:
+        s = np.ascontiguousarray(src)
+        dst = np.empty(out_shape, np.float32)
+        lib.zoom3d_linear(s.ctypes.data_as(ctypes.c_void_p), *s.shape,
+                          dst.ctypes.data_as(ctypes.c_void_p), dd, dh, dw)
+        return dst
+    if lib is not None and order == 0 and src.dtype == np.uint8:
+        s = np.ascontiguousarray(src)
+        dst = np.empty(out_shape, np.uint8)
+        lib.zoom3d_nearest_u8(s.ctypes.data_as(ctypes.c_void_p), *s.shape,
+                              dst.ctypes.data_as(ctypes.c_void_p), dd, dh, dw)
+        return dst
+    from scipy import ndimage
+
+    factors = [o / s for o, s in zip(out_shape, src.shape)]
+    out = ndimage.zoom(src, factors, order=order)
+    # zoom can be off-by-one on the output shape; pad/trim to exact
+    pads = [(0, max(0, t - c)) for t, c in zip(out_shape, out.shape)]
+    out = np.pad(out, pads)[:dd, :dh, :dw]
+    return out

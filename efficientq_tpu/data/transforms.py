@@ -180,20 +180,22 @@ class BalanceCrop:
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, img, label):
+        from .native import sample_mask_voxel
+
         mask = np.asarray(self.mask_func(label))
-        pos = np.argwhere(mask)
-        neg = np.argwhere(~mask)
-        if len(pos) == 0 and len(neg) == 0:
+        seed = int(self.rng.integers(1, 2 ** 62))
+        # native single-pass reservoir sampling (NumPy fallback inside)
+        n_pos, pos_c = sample_mask_voxel(mask, True, seed)
+        n_neg, neg_c = sample_mask_voxel(mask, False, seed + 1)
+        if n_pos == 0 and n_neg == 0:
             raise RuntimeError("Invalid patch size.")
-        if len(neg) == 0:
+        if n_neg == 0:
             is_pos = True
-        elif len(pos) == 0:
+        elif n_pos == 0:
             is_pos = False
         else:
             is_pos = self.rng.random() <= self.prob
-        locs = pos if is_pos else neg
-        center = locs[int(self.rng.integers(0, len(locs)))]
-        center = center[-3:]  # mask may carry a channel dim
+        center = (pos_c if is_pos else neg_c)[-3:]  # mask may carry channels
         return (crop_centroid(img, center, self.img_size),
                 crop_centroid(label, center, self.label_size))
 

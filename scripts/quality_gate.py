@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""PTQ quality gate: train a small UResQ on synthetic LiTS-like data until
+it segments well, then PTQ at W8A8 / W4A4 / W2A2 and report the Dice delta
+vs FP (the BASELINE.md acceptance metric: delta within 0.5 pts at W4A4-level
+settings).
+
+Run on TPU:  python scripts/quality_gate.py [--epochs N]
+Writes results to quality_gate_results.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as P
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, P.dirname(P.dirname(P.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from efficientq_tpu import nnir
+from efficientq_tpu.data.datahub import DataHub
+from efficientq_tpu.data.synthetic import make_synthetic_dataset, task_modalities
+from efficientq_tpu.data.transforms import center_crop
+from efficientq_tpu.eval.validate import validate_seg
+from efficientq_tpu.models import UResQConfig, build_uresq
+from efficientq_tpu.ptq import PTQHyperParams, run_ptq
+from efficientq_tpu.train import Trainer
+from efficientq_tpu import ops
+import jax.numpy as jnp
+
+
+def model_cfg(qlvl=None):
+    q = qlvl is not None
+    return UResQConfig(
+        num_mod=1, num_classes=3, depth_config=[1, 1, 1, 1, 1],
+        width_config=[8, 16, 32, 16, 8], dilation_config=[1] * 5,
+        init_stride=(2, 2, 2), drop_rate=0.2, blk_type="mid", ds="simple",
+        ds_depth_limit=3, drop_cut_thres=128,
+        quantize=q, qlvl_w=qlvl or 4, qlvl_act=qlvl or 4,
+        q_first=(256, -1), q_last=(256, -1))
+
+
+def mean_fg_dice(graph, variables, hub, num_mo, mode):
+    sm = validate_seg(graph, variables, hub.valloader, hub.val_sn, num_mo, 3,
+                      patch_size=hub.slide_patch_size,
+                      overlap=hub.slide_overlap, mode=mode)
+    return sm[-1].get_metric()["dsc"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--subjects", type=int, default=8)
+    ap.add_argument("--admm_iter", type=int, default=200)
+    args = ap.parse_args()
+
+    root = tempfile.mkdtemp(prefix="effq_quality_")
+    data_dir, split_dir = make_synthetic_dataset(
+        root, task="lits", n_subjects=args.subjects, vol_shape=(32, 32, 32),
+        seed=0)
+    hub = DataHub(
+        data_dir, task_modalities("lits"),
+        train_split=f"{split_dir}/round1/train.txt",
+        val_split=f"{split_dir}/round1/val.txt",
+        train_batchsize=4, test_batchsize=1, access_type="npy",
+        crop_type="balance", balance_rate=0.8,
+        balance_mask_func=lambda label: label == 2,
+        crop_size_img=(16, 16, 16),
+        slide_patch_size=(16, 16, 16), slide_overlap=(4, 4, 4))
+
+    cfg = model_cfg()
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    n_mo = len(graph.outputs)
+    tr = Trainer(graph, variables, hub, loss_name="hybrid", num_mo=n_mo,
+                 n_class=3, base_lr=0.01, max_epoch=args.epochs,
+                 snapshot_root=P.join(root, "snap"),
+                 test_interval=10 ** 9, display_interval=50)
+    t0 = time.time()
+    for ep in range(args.epochs):
+        ld = tr.train_epoch()
+    train_sec = time.time() - t0
+    print(f"trained {args.epochs} epochs in {train_sec:.1f}s, "
+          f"final loss {ld['loss']:.4f}")
+
+    fp_dice = mean_fg_dice(graph, tr.variables, hub, n_mo, "fp")
+    print(f"FP foreground dice: {fp_dice:.4f}")
+
+    # calibration volume: first sequential train subject, full 32^3
+    hub.trainseqloader.dataset.use_fix_transform()
+    img, _ = next(iter(hub.trainseqloader))
+    calib_x = ops.ncdhw_to_ndhwc(jnp.asarray(img))
+
+    results = {"fp_dice": fp_dice, "train_seconds": train_sec,
+               "epochs": args.epochs, "settings": {}}
+    for qlvl, tag in ((256, "W8A8"), (16, "W4A4"), (4, "W2A2")):
+        qcfg = model_cfg(qlvl)
+        qgraph = build_uresq(qcfg)
+        qvars = nnir.init(qgraph, jax.random.PRNGKey(0))
+        # copy trained weights (same structure)
+        from efficientq_tpu.models import torch_io
+
+        sd = torch_io.to_torch_state_dict(graph, tr.variables)
+        qvars = torch_io.load_torch_state_dict(qgraph, qvars, sd)
+        t0 = time.time()
+        fg, fv, report = run_ptq(
+            qgraph, qvars, calib_x, task="lits", init_stride=(2, 2, 2),
+            hp=PTQHyperParams(admm_iter=args.admm_iter))
+        calib_sec = time.time() - t0
+        q_dice = mean_fg_dice(fg, fv, hub, n_mo, "quantized")
+        delta = fp_dice - q_dice
+        print(f"{tag}: dice {q_dice:.4f} (delta {delta:+.4f}), "
+              f"calib {calib_sec:.1f}s over {len(report.layer_losses)} layers")
+        results["settings"][tag] = {
+            "dice": q_dice, "delta": delta, "calib_seconds": calib_sec,
+            "layers": len(report.layer_losses)}
+
+    out = P.join(P.dirname(P.abspath(__file__)), "..",
+                 "quality_gate_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results["settings"], indent=2))
+
+
+if __name__ == "__main__":
+    main()
