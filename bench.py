@@ -64,6 +64,7 @@ def main():
     import jax.numpy as jnp
 
     from efficientq_tpu import nnir
+    from efficientq_tpu.eval.sliding import patch_grid, sliding_window_inference
     from efficientq_tpu.models import build_uresq, preset_config
     from efficientq_tpu.ptq import fold_bn
     from efficientq_tpu.quant import fake_quant_weight
@@ -85,36 +86,48 @@ def main():
         if qcfg.q_act:
             p["alpha_act"] = jnp.float32(1.0)
 
-    x = np.random.RandomState(0).randn(1, 128, 128, 128, 4).astype(np.float32)
-    xj = jnp.asarray(x)
+    # headline workload: whole-volume sliding-window inference on a standard
+    # BraTS volume (155 x 240 x 240, 4 modalities), 128^3 patches overlap 16
+    # -> 2x3x3 = 18 patches, stitched on device (BASELINE.md row 2)
+    vol_shape = (155, 240, 240)
+    patch, overlap = (128, 128, 128), (16, 16, 16)
+    n_patches = len(patch_grid(vol_shape, patch, overlap))
+    vol = np.random.RandomState(0).randn(1, *vol_shape, 4).astype(np.float32)
+    vj = jnp.asarray(vol)
 
     @jax.jit
-    def fwd(v, xb):
-        return nnir.apply(fgraph, v, xb, mode="quantized")
+    def infer_volume(v, image):
+        def model_fn(xb):
+            return nnir.apply(fgraph, v, xb, mode="quantized")
 
-    # compile + warmup
-    out = jax.block_until_ready(fwd(fvars, xj))
+        return sliding_window_inference(model_fn, image, patch, overlap,
+                                        patch_batch=2)
+
+    out = jax.block_until_ready(infer_volume(fvars, vj))  # compile + warmup
     assert np.isfinite(np.asarray(out)).all()
-    iters = 10
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(fvars, xj)
+        out = infer_volume(fvars, vj)
     jax.block_until_ready(out)
-    tpu_sec = (time.perf_counter() - t0) / iters
-    tpu_throughput = 1.0 / tpu_sec
+    tpu_vol_sec = (time.perf_counter() - t0) / iters
+    tpu_volumes_per_sec = 1.0 / tpu_vol_sec
 
-    # torch CPU FP32 baseline on the same graph (1 timed run after warmup)
+    # torch CPU FP32 baseline: one 128^3 patch through the same graph,
+    # extrapolated to the 18-patch volume (a full CPU volume would take
+    # ~10 min; stitching cost is negligible next to the convs)
+    x = vol[:, :128, :128, :128, :]
     x_ncdhw = np.transpose(x, (0, 4, 1, 2, 3)).copy()
     t0 = time.perf_counter()
     torch_reference_forward(fgraph, fvars, x_ncdhw)
-    cpu_sec = time.perf_counter() - t0
-    cpu_throughput = 1.0 / cpu_sec
+    cpu_patch_sec = time.perf_counter() - t0
+    cpu_volumes_per_sec = 1.0 / (cpu_patch_sec * n_patches)
 
     print(json.dumps({
-        "metric": "brats_uresq_w4a4_128cube_forward_throughput",
-        "value": round(tpu_throughput, 4),
-        "unit": "patches/sec",
-        "vs_baseline": round(tpu_throughput / cpu_throughput, 2),
+        "metric": "brats_w4a4_whole_volume_sliding_window_inference",
+        "value": round(tpu_volumes_per_sec, 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(tpu_volumes_per_sec / cpu_volumes_per_sec, 2),
     }))
 
 

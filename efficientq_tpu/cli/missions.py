@@ -60,13 +60,23 @@ def train_fp(args):
     test_interval = (args.test_interval
                      if args.test_interval > args.max_epoch / 20
                      else max(args.max_epoch // 20, 1))
+    # TensorBoard sink (train_seg.py:163-169), optional dependency
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(log_dir=P.join(
+            os.getcwd(), "results", args.task, "tboard",
+            "round" + str(args.round), P.basename(snap_root)))
+    except Exception:
+        pass
     trainer = Trainer(
         graph, variables, hub, loss_name=args.loss, num_mo=n_mo,
         n_class=nClass, base_lr=args.lr, max_epoch=args.max_epoch,
         snapshot_root=snap_root, weight_decay=float(args.weight_decay),
         warmup_epochs=warmup_epochs, test_interval=test_interval,
         display_interval=args.disp_interval,
-        multilabel_fusetype=args.merge_type)
+        multilabel_fusetype=args.merge_type, tb_writer=tb_writer)
     if args.resume:
         trainer.resume(args.resume)
     elif args.pretrain:

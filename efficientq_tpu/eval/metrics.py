@@ -81,6 +81,29 @@ def num_positive(pred_b, target_b) -> float:
     return num_component(target_b)
 
 
+def validate_vs_label(output, target, task="lits"):
+    """Per-class Dice between a (possibly multi-head) raw output and a
+    target — the FP-vs-Q comparison utility (utils/metrics.py:119-148).
+
+    output: (M, N, C, D, H, W) or (N, C, D, H, W) logits; target: hard
+    labels (N, D, H, W) for lits, binary channels (N, C, D, H, W) for brats.
+    """
+    output = np.asarray(output)
+    if output.ndim >= 6:
+        return [validate_vs_label(o, target, task) for o in output]
+    target = np.asarray(target)
+    if task == "lits":
+        pred = np.argmax(output, axis=1)
+        return [dice(pred == c, target == c) for c in range(output.shape[1])]
+    if task == "brats":
+        pred = (1 / (1 + np.exp(-output)) >= 0.5).astype(np.int32)
+        measure = [dice(pred.sum(axis=1) == 0, target.sum(axis=1) == 0)]
+        for c in range(output.shape[1]):
+            measure.append(dice(pred[:, c], target[:, c]))
+        return measure
+    raise ValueError(f"Unknown task {task}")
+
+
 class SegMetricMC:
     """Multi-class segmentation metric accumulator with the reference's
     write formats (validate.py:19-209): per-class and foreground-mean

@@ -84,6 +84,32 @@ def load_torch_checkpoint(graph: Graph, variables, path: str, strict=False):
     return load_torch_state_dict(graph, variables, sd, strict)
 
 
+def load_int8_checkpoint(graph: Graph, variables, path: str):
+    """Load a PTQ int8-packed export (state_in_int8.pkl /
+    state_in_int8_compress.npz) and restore FP-valued quantized weights,
+    mirroring restore_fp_weight (src/models/PTQConv.py:144-152)."""
+    import pickle
+
+    from ..quant import unpack_int_weight
+
+    if path.endswith(".npz"):
+        sd = np.load(path, allow_pickle=True)["state_dict"].item()
+    else:
+        with open(path, "rb") as f:
+            sd = pickle.load(f)["state_dict"]
+    sd = dict(sd)
+    for node in graph.qconv_nodes():
+        qcfg = node.attrs["qcfg"]
+        key = f"{node.name}.weight"
+        if not qcfg.q_weight or key not in sd:
+            continue
+        w = np.asarray(sd[key])
+        if w.dtype in (np.uint8, np.int32):
+            alpha = float(np.asarray(sd[f"{node.name}.alpha_w"]))
+            sd[key] = unpack_int_weight(w, alpha, qcfg.qlvl_w)
+    return load_torch_state_dict(graph, variables, sd)
+
+
 def to_torch_state_dict(graph: Graph, variables) -> Dict[str, np.ndarray]:
     """Export our variables as a torch-style flat numpy state dict."""
     out: Dict[str, np.ndarray] = {}

@@ -37,7 +37,8 @@ class Trainer:
                  snapshot_root: str, weight_decay: float = 0.0,
                  warmup_epochs: int = 1, test_interval: int = 50,
                  display_interval: int = 10, multilabel_fusetype=None,
-                 seed: int = 0, mesh=None, check_nan: bool = False):
+                 seed: int = 0, mesh=None, check_nan: bool = False,
+                 tb_writer=None):
         self.graph = graph
         self.variables = variables
         self.data = data_cube
@@ -64,7 +65,14 @@ class Trainer:
         self.start_epoch = 1
         self.max_seg_metric_val = 0.0
         self.mesh = mesh
+        self.tb_writer = tb_writer
         self._train_step = self._build_train_step()
+        # model/scheme dump (trainer.py:75-76 description.txt)
+        with open(P.join(snapshot_root, "description.txt"), "w") as f:
+            f.write(f"loss={loss_name} lr={base_lr} epochs={max_epoch} "
+                    f"warmup_epochs={warmup_epochs} wd={weight_decay}\n")
+            for node in graph.nodes:
+                f.write(f"{node.name}: {node.op} {node.attrs}\n")
 
     # ------------------------------------------------------------------
     def _build_train_step(self):
@@ -148,9 +156,15 @@ class Trainer:
         lossF = open(P.join(self.root, "loss.txt"), "a")
         seg_metricF = open(P.join(self.root, "seg_metric.txt"), "a")
         start = time.time()
+        profile_dir = os.environ.get("EFFQ_PROFILE_DIR")
         try:
             for epoch in range(self.start_epoch, self.max_epoch + 1):
-                loss_dict = self.train_epoch()
+                if profile_dir and epoch == self.start_epoch + 1:
+                    # trace the first post-compile epoch (jax.profiler)
+                    with jax.profiler.trace(profile_dir):
+                        loss_dict = self.train_epoch()
+                else:
+                    loss_dict = self.train_epoch()
                 loss_all.append(loss_dict["loss"])
                 self.epoch = epoch
                 if epoch % self.display_interval == 0 or epoch == self.start_epoch:
@@ -161,6 +175,11 @@ class Trainer:
                           f"lr = {self.current_lr():.5e}, elapsed {el:.0f}s")
                     lossF.write("%d,%.7f\n" % (epoch, avg))
                     lossF.flush()
+                if self.tb_writer:
+                    self.tb_writer.add_scalar("Learning Rate",
+                                              self.current_lr(), epoch)
+                    for k, v in loss_dict.items():
+                        self.tb_writer.add_scalar(k, float(v), epoch)
                 if epoch % self.test_interval == 0 or epoch == self.start_epoch:
                     metric_dict = self.validate_online(epoch, seg_metricF)
                     val_dsc = metric_dict.get("val/seg_dsc", 0.0)
@@ -168,6 +187,9 @@ class Trainer:
                     if self.max_seg_metric_val < val_dsc and epoch > 10:
                         self.max_seg_metric_val = val_dsc
                         self.snapshot(epoch, "seg_max")
+                    if self.tb_writer:
+                        for k, v in metric_dict.items():
+                            self.tb_writer.add_scalar(k, float(v), epoch)
         except KeyboardInterrupt:
             self.snapshot(self.epoch, "KeyboardInterrupt")
             raise
