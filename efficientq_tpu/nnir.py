@@ -173,7 +173,8 @@ def init(graph: Graph, rng: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision):
+def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision,
+               compute_dtype=None):
     a = node.attrs
     qcfg: Optional[QCfg] = a.get("qcfg")
     kernel = p["kernel"]
@@ -187,16 +188,29 @@ def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision):
             # values and mode='quantized' uses it as-is
             # (src/models/PTQConv.py:163-167).
             kernel = fake_quant_weight(kernel, p["alpha_w"], qcfg.qlvl_w)
-    return ops.conv3d(x, kernel, bias, a["stride"], a["padding"], a["dilation"],
-                      a["groups"], precision=precision)
+    if compute_dtype is not None:
+        # low-precision inference: cast operands (quantization error dwarfs
+        # bf16 rounding of the grid values), accumulate and emit f32
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+        y = ops.conv3d(x, kernel, None, a["stride"], a["padding"],
+                       a["dilation"], a["groups"], precision=precision,
+                       preferred_element_type=jnp.float32)
+    else:
+        y = ops.conv3d(x, kernel, None, a["stride"], a["padding"],
+                       a["dilation"], a["groups"], precision=precision)
+    if bias is not None:
+        y = y + bias
+    return y
 
 
 def eval_node(node: Node, params: Dict[str, Any], state: Dict[str, Any],
-              ins, *, mode: str = "fp", precision=None):
+              ins, *, mode: str = "fp", precision=None, compute_dtype=None):
     """Evaluate a single (inference-mode) node. Used by both the jitted
     whole-graph ``apply`` and the eager PTQ calibration sweep."""
     if node.op == "conv":
-        return _eval_conv(node, params[node.name], ins[0], mode, precision)
+        return _eval_conv(node, params[node.name], ins[0], mode, precision,
+                          compute_dtype)
     if node.op == "bn":
         p = params[node.name]
         s = state[node.name]
@@ -226,6 +240,7 @@ def apply(
     rng: Optional[jax.Array] = None,
     mode: str = "fp",
     precision=None,
+    compute_dtype=None,
     capture: Optional[Sequence[str]] = None,
 ):
     """Interpret the graph on input ``x`` (NDHWC).
@@ -259,7 +274,8 @@ def apply(
             assert rng is not None, "dropout needs rng in train mode"
             out = ops.dropout3d(ins[0], node.attrs["rate"], jax.random.fold_in(rng, i))
         else:
-            out = eval_node(node, params, st, ins, mode=mode, precision=precision)
+            out = eval_node(node, params, st, ins, mode=mode,
+                            precision=precision, compute_dtype=compute_dtype)
         values[node.name] = out
         if capture and node.name in capture:
             captured[node.name] = (ins[0], out)

@@ -49,6 +49,7 @@ def conv3d(
     dilation: IntOr3 = 1,
     groups: int = 1,
     precision=None,
+    preferred_element_type=None,
 ) -> jax.Array:
     """3D convolution, NDHWC activations x DHWIO kernel -> NDHWC.
 
@@ -76,6 +77,7 @@ def conv3d(
         dimension_numbers=dn,
         feature_group_count=groups,
         precision=precision,
+        preferred_element_type=preferred_element_type,
     )
     if bias is not None:
         y = y + bias

@@ -37,7 +37,7 @@ class Trainer:
                  snapshot_root: str, weight_decay: float = 0.0,
                  warmup_epochs: int = 1, test_interval: int = 50,
                  display_interval: int = 10, multilabel_fusetype=None,
-                 seed: int = 0, mesh=None, check_nan: bool = False,
+                 seed: int = 0, mesh=None, check_nan: bool = True,
                  tb_writer=None):
         self.graph = graph
         self.variables = variables
