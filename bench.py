@@ -19,6 +19,9 @@ from efficientq_tpu.models.torch_exec import torch_reference_forward
 
 
 def main():
+    from efficientq_tpu.cli.entrance import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

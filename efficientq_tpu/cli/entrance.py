@@ -109,7 +109,19 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def enable_compilation_cache():
+    """Persistent XLA compile cache — PTQ compiles one program per distinct
+    layer geometry; caching makes repeat runs start hot."""
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/effq_tpu_xla"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+
 def main(argv=None):
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.config:

@@ -54,7 +54,12 @@ def train_fp(args):
     variables = nnir.init(graph, jax.random.PRNGKey(0))
 
     qinfo = "FP"
-    snap_root = definer.make_snapshot_dir(args, "exp_fp", model_info, qinfo)
+    if args.resume:
+        # resume into the original experiment directory (train_seg.py:68-69)
+        snap_root = P.dirname(P.abspath(args.resume))
+    else:
+        snap_root = definer.make_snapshot_dir(args, "exp_fp", model_info,
+                                              qinfo)
 
     warmup_epochs = 5 if args.pretrain else 1
     test_interval = (args.test_interval

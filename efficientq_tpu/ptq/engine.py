@@ -85,9 +85,14 @@ def run_ptq(
     capture = [n.name for n in qnodes]
 
     t0 = time.time()
-    out_fp, captured = nnir.apply(graph, {"params": params, "state": state},
-                                  calib_x, mode="fp", precision=HI,
-                                  capture=capture)
+
+    @jax.jit
+    def _captured_forward(variables, x):
+        return nnir.apply(graph, variables, x, mode="fp", precision=HI,
+                          capture=capture)
+
+    out_fp, captured = _captured_forward({"params": params, "state": state},
+                                         calib_x)
     out_fp = jax.block_until_ready(out_fp)
     t1 = time.time()
 

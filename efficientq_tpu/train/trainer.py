@@ -198,6 +198,12 @@ class Trainer:
             seg_metricF.close()
         self.snapshot(self.max_epoch)
         self.final_snap("FP")
+        # transient snapshot cleanup (trainer.py:152-155)
+        for name in ("state_0001.pkl", "state_current.pkl",
+                     "state_latest.pkl", "state_KeyboardInterrupt.pkl"):
+            path = P.join(self.root, name)
+            if P.isfile(path):
+                os.remove(path)
 
     # ------------------------------------------------------------------
     # checkpointing (trainer.py:427-481)

@@ -43,6 +43,21 @@ def test_stitch_counts_overlaps_like_reference():
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
 
 
+def test_stitch_batched_subjects():
+    """N=2 subjects stitched independently through the flattened patch
+    batch (the test_batch_size>1 eval path)."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 12, 10, 10, 2).astype(np.float32))
+
+    def model_fn(xb):
+        return xb[None]
+
+    out = sliding_window_inference(model_fn, x, (8, 8, 8), (4, 4, 4),
+                                   patch_batch=3)
+    assert out.shape == (1, 2, 12, 10, 10, 2)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x), atol=1e-5)
+
+
 def test_patch_grid_covers_volume():
     starts = patch_grid((30, 20, 10), (8, 8, 8), (2, 2, 2))
     cover = np.zeros((30, 20, 10), bool)
