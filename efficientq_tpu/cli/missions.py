@@ -193,12 +193,16 @@ def ptq(args):
 
 
 def _dump_seg_niis(report, task, snap_dir):
-    """Side-by-side Q vs FP hard segmentations (ptqer.py:372-377)."""
-    from ..ptq.attention import hard_pred
+    """Side-by-side Q vs FP hard segmentations (ptqer.py:372-377; brats uses
+    the conservative-merge prediction, utils/metrics.py:216-219)."""
+    from ..ptq.attention import hard_pred, pred_brats_con_merge
     from ..utils.nifti import save_nifti
 
     for tag, out in (("Qseg", report.output_q), ("FPseg", report.output_fp)):
-        pred = np.asarray(hard_pred(out[-1], task)).astype(np.uint8)
+        if task == "brats":
+            pred = np.asarray(pred_brats_con_merge(out[-1])).astype(np.uint8)
+        else:
+            pred = np.asarray(hard_pred(out[-1], task)).astype(np.uint8)
         for i in range(pred.shape[0]):
             save_nifti(P.join(snap_dir, f"{tag}{i}.nii.gz"), pred[i])
 

@@ -177,6 +177,19 @@ def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision,
                compute_dtype=None):
     a = node.attrs
     qcfg: Optional[QCfg] = a.get("qcfg")
+    if a.get("int8") and mode in ("quantized", "fq"):
+        # true integer path (ptq/deploy.py): quantize acts to int8 codes,
+        # int8 x int8 conv with int32 accumulation, f32 scale epilogue —
+        # bit-exact with the fake-quant computation
+        qa = jnp.round(jnp.clip(x / p["alpha_act"], 0.0, 1.0)
+                       * (qcfg.qlvl_act - 1)).astype(jnp.int8)
+        y = ops.conv3d(qa, p["kernel_int8"], None, a["stride"], a["padding"],
+                       a["dilation"], a["groups"],
+                       preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * p["scale"]
+        if "bias" in p:
+            y = y + p["bias"]
+        return y
     kernel = p["kernel"]
     bias = p.get("bias")
     if qcfg is not None and mode in ("quantized", "fq"):

@@ -38,6 +38,20 @@ def pred_brats(out: jnp.ndarray) -> jnp.ndarray:
     return pred
 
 
+def pred_brats_con_merge(out: jnp.ndarray) -> jnp.ndarray:
+    """Overlay prediction with conservative channel merging first
+    (get_pred_brats_con_merge, utils/metrics.py:195-209) — used for the
+    Qseg/FPseg NIfTI dumps."""
+    hard = (jax.nn.sigmoid(out) >= 0.5).astype(jnp.int32)
+    merged = [hard[..., 0]]
+    for i in range(1, out.shape[-1]):
+        merged.append(merged[-1] * hard[..., i])
+    pred = jnp.zeros(out.shape[:-1], jnp.int32)
+    for i, ch in enumerate(merged):
+        pred = jnp.where(ch > 0, i + 1, pred)
+    return pred
+
+
 def hard_pred(out: jnp.ndarray, task: str) -> jnp.ndarray:
     if task == "lits":
         return pred_lits(out)

@@ -86,3 +86,19 @@ def test_fusion_modes():
     con = LB.merge_label_basic(pred, "con")
     # con: p[i] = all(p[j], j<=i)
     np.testing.assert_array_equal(con[:, :, 0], [[0, 1], [0, 1], [0, 0]])
+
+
+def test_pred_brats_con_merge():
+    import jax.numpy as jnp
+    from efficientq_tpu.ptq.attention import pred_brats_con_merge
+
+    # logits: WT on, TC off, ET on -> ET must be suppressed by cascade
+    out = np.full((1, 1, 1, 1, 3), -10.0, np.float32)
+    out[0, 0, 0, 0, 0] = 10.0
+    out[0, 0, 0, 0, 2] = 10.0
+    pred = np.asarray(pred_brats_con_merge(jnp.asarray(out)))
+    assert pred[0, 0, 0, 0] == 1  # only WT survives
+    # all channels on -> deepest label wins
+    out[0, 0, 0, 0, 1] = 10.0
+    pred = np.asarray(pred_brats_con_merge(jnp.asarray(out)))
+    assert pred[0, 0, 0, 0] == 3
