@@ -57,21 +57,29 @@ def main():
     vol = np.random.RandomState(0).randn(1, *vol_shape, 4).astype(np.float32)
     vj = jnp.asarray(vol)
 
+    from efficientq_tpu.ptq.attention import pred_brats_con_merge
+
     @jax.jit
     def infer_volume(v, image):
         def model_fn(xb):
-            return nnir.apply(fgraph, v, xb, mode="quantized")
+            # bf16 operands / f32 accumulation: at 2-bit quantization the
+            # bf16 rounding of grid values is noise, and the MXU runs at
+            # full bf16 throughput
+            return nnir.apply(fgraph, v, xb, mode="quantized",
+                              compute_dtype=jnp.bfloat16)
 
-        return sliding_window_inference(model_fn, image, patch, overlap,
-                                        patch_batch=2)
+        logits = sliding_window_inference(model_fn, image, patch, overlap,
+                                          patch_batch=6)
+        # end-to-end serving output: hard segmentation (uint8), so the timed
+        # loop can materialize each result on the host cheaply
+        return pred_brats_con_merge(logits[-1]).astype(jnp.uint8)
 
-    out = jax.block_until_ready(infer_volume(fvars, vj))  # compile + warmup
-    assert np.isfinite(np.asarray(out)).all()
+    seg = np.asarray(infer_volume(fvars, vj))  # compile + warmup + transfer
+    assert seg.shape == (1, *vol_shape)
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer_volume(fvars, vj)
-    jax.block_until_ready(out)
+        seg = np.asarray(infer_volume(fvars, vj))  # host materialization
     tpu_vol_sec = (time.perf_counter() - t0) / iters
     tpu_volumes_per_sec = 1.0 / tpu_vol_sec
 

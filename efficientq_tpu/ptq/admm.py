@@ -22,6 +22,7 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..quant import project_by_iter
 from .solver import (GramStats, compute_gram_stats, flat_to_kernel,
@@ -77,10 +78,16 @@ def admm_quantize(
     qlvl_w: int,
     rho_scale: jax.Array,
     hp: PTQHyperParams,
+    loss_fn=None,
 ):
     """Run the ADMM loop on precomputed Grams.
 
-    Returns (bestG_flat, bestB, best_alpha_w, best_loss_unweighted).
+    ``loss_fn(W_flat, bias) -> scalar`` overrides the per-iterate loss used
+    for best tracking (defaults to the Gram quadratic form; calibrate_layer
+    passes a direct-convolution loss when the layer's spatial extent is
+    small — cheaper there, and free of quadratic-form cancellation).
+
+    Returns (bestG_flat, bestB, best_alpha_w, best_loss).
     """
     c2 = w_flat0.shape[0]
     has_bias = stats.has_bias
@@ -103,6 +110,10 @@ def admm_quantize(
             return jnp.concatenate([Gw, b[:, None]], axis=1)
         return Gw
 
+    if loss_fn is None:
+        def loss_fn(Gw, b):
+            return quadratic_mse(stats, ext(Gw, b), weighted=False)
+
     for mult, n_iters, dual_factor in rho_segments(hp):
         rho = mult * rho_scale
         A = make_system(stats, rho, eta, hp.mu)
@@ -115,7 +126,7 @@ def admm_quantize(
             a_w, b_w = project_by_iter(w_star + dual, qlvl_w, -1.0, 1.0)
             G_new = a_w * b_w
             dual_new = w_star - G_new + dual
-            loss = quadratic_mse(stats, ext(G_new, b_star), weighted=False)
+            loss = loss_fn(G_new, b_star)
             better = loss < bestLoss
             bestG = jnp.where(better, G_new, bestG)
             bestB = jnp.where(better, b_star, bestB)
@@ -171,8 +182,25 @@ def calibrate_layer(
 
     stats = compute_gram_stats(x_q, y_fp, att, ksize, stride, padding,
                                dilation, has_bias=has_bias)
+
+    # per-iterate loss: for small spatial extents the direct convolution is
+    # both cheaper than the c1k^2 quadratic form and free of its f32
+    # cancellation (the reference always uses the conv,
+    # EfficientQConv.py:118-121)
+    S = int(np.prod(y_fp.shape[:-1]))
+    c1k = w_flat0.shape[1]
+    loss_fn = None
+    if 2 * S < c1k:
+        from .. import ops
+
+        def loss_fn(Gw, b):
+            k = flat_to_kernel(Gw, kernel.shape)
+            out = ops.conv3d(x_q, k, b if has_bias else None, stride, padding,
+                             dilation, precision=jax.lax.Precision.HIGHEST)
+            return jnp.mean((out - y_fp) ** 2)
+
     bestG, bestB, alpha_w, best_loss = admm_quantize(
-        w_flat0, bias, stats, qlvl_w, rho_scale, hp)
+        w_flat0, bias, stats, qlvl_w, rho_scale, hp, loss_fn=loss_fn)
 
     W_ext = (jnp.concatenate([bestG, bestB[:, None]], axis=1)
              if has_bias else bestG)
