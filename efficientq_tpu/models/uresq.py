@@ -50,6 +50,11 @@ class UResQConfig:
     ds_depth_limit: int = 99999
     aniso_pool_depth: int = 99999
     aniso_pool_stride: Tuple[int, int, int] = (2, 2, 1)
+    # nn.ReLU(inplace=True) in the reference mutates block inputs; for the
+    # 'mid' ordering this makes the residual add relu(x) instead of x
+    # (factory_blk.py:162-166 with NLAConvBN's in-place relu1). True
+    # replicates the as-executed (and as-trained) semantics.
+    inplace_nla: bool = True
     # quantization
     quantize: bool = False  # False -> plain convs everywhere (qconv='conv')
     qlvl_w: int = 8
@@ -117,17 +122,27 @@ def _block(g: GraphBuilder, prefix: str, x: str, in_ch: int, out_ch: int,
 def _res_block(g: GraphBuilder, prefix: str, x: str, in_ch: int, out_ch: int,
                cfg: UResQConfig, dilation: int, drop_rate: float, qcfg) -> str:
     """ResBlockWithType (factory_blk.py:147-166): block1 (no drop) -> block2
-    (drop) -> + projection(x)."""
+    (drop) -> + projection(x).
+
+    In-place ReLU semantics: with the 'mid' ordering and inplace nla, the
+    reference's block1 relu mutates the residual source in place, so the
+    skip path adds relu(x) (and the projection conv, when present, consumes
+    relu(x)) — replicated here by tapping block1's relu node.
+    """
     inp = x
     h = _block(g, f"{prefix}.block1", x, in_ch, out_ch, cfg, 3, 1, dilation,
                dilation, 0.0, qcfg)
+    if cfg.blk_type == "mid" and cfg.inplace_nla:
+        residual_src = f"{prefix}.block1.relu"
+    else:
+        residual_src = inp
     h = _block(g, f"{prefix}.block2", h, out_ch, out_ch, cfg, 3, 1, dilation,
                dilation, drop_rate, qcfg)
     if in_ch != out_ch:
-        proj = g.conv(f"{prefix}.projection", inp, in_ch, out_ch, 1, 1, 0,
-                      bias=False, qcfg=qcfg)
+        proj = g.conv(f"{prefix}.projection", residual_src, in_ch, out_ch, 1,
+                      1, 0, bias=False, qcfg=qcfg)
     else:
-        proj = inp
+        proj = residual_src
     return g.add_op(f"{prefix}.add", h, proj)
 
 

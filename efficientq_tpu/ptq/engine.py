@@ -133,15 +133,27 @@ def run_ptq(
                 x_q = x_in
             if qcfg.q_weight:
                 att = match_pyramid_level(pyramid, y_fp.shape)
-                res = calibrate_layer(
-                    x_q, y_fp, p["kernel"], p.get("bias"), att,
-                    ksize=node.attrs["kernel_size"],
-                    stride=node.attrs["stride"],
-                    padding=node.attrs["padding"],
-                    dilation=node.attrs["dilation"],
-                    qlvl_w=qcfg.qlvl_w,
-                    has_bias="bias" in p,
-                    hp=hp)
+                kw = dict(ksize=node.attrs["kernel_size"],
+                          stride=node.attrs["stride"],
+                          padding=node.attrs["padding"],
+                          dilation=node.attrs["dilation"],
+                          qlvl_w=qcfg.qlvl_w, has_bias="bias" in p, hp=hp)
+                try:
+                    res = calibrate_layer(x_q, y_fp, p["kernel"],
+                                          p.get("bias"), att, **kw)
+                except Exception as e:  # accelerator OOM -> host fallback
+                    # (the reference's GPU-OOM -> CPU path,
+                    # solver.py:259-277, 329-337)
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    print(f"{node.name}: device OOM, calibrating on CPU")
+                    cpu = jax.devices("cpu")[0]
+                    args_cpu = [jax.device_put(t, cpu) if t is not None else None
+                                for t in (x_q, y_fp, p["kernel"],
+                                          p.get("bias"), att)]
+                    res = calibrate_layer(*args_cpu, **kw)
+                    res = {k: (jnp.asarray(v) if v is not None else None)
+                           for k, v in res.items()}
                 p["kernel"] = res["kernel"]
                 if res["bias"] is not None:
                     p["bias"] = res["bias"]

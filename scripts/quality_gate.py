@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--subjects", type=int, default=8)
     ap.add_argument("--admm_iter", type=int, default=200)
+    ap.add_argument("--tune_act", type=int, default=0,
+                    help="post-PTQ end-to-end alpha_act Adam iterations")
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix="effq_quality_")
@@ -118,6 +120,18 @@ def main():
         results["settings"][tag] = {
             "dice": q_dice, "delta": delta, "calib_seconds": calib_sec,
             "layers": len(report.layer_losses)}
+
+        if args.tune_act:
+            from efficientq_tpu.ptq.tune import tune_activation_range
+
+            tv, losses = tune_activation_range(fg, fv, calib_x,
+                                               report.output_fp,
+                                               max_iter=args.tune_act)
+            t_dice = mean_fg_dice(fg, tv, hub, n_mo, "quantized")
+            print(f"{tag}+tune_act: dice {t_dice:.4f} "
+                  f"(delta {fp_dice - t_dice:+.4f}), "
+                  f"recon {losses[0]:.5f}->{losses[-1]:.5f}")
+            results["settings"][tag]["tuned_dice"] = t_dice
 
     out = P.join(P.dirname(P.abspath(__file__)), "..",
                  "quality_gate_results.json")
