@@ -60,6 +60,14 @@ def main():
         fake = types.ModuleType("pytz")
         fake.timezone = lambda tz: None
         sys.modules["pytz"] = fake
+    if "nibabel" not in sys.modules:
+        try:
+            import nibabel  # noqa: F401
+        except ImportError:
+            nb = types.ModuleType("nibabel")
+            nb.load = None
+            nb.Nifti1Image = None
+            sys.modules["nibabel"] = nb
     sys.path.insert(0, REF)
     from definer import get_conv_class, get_model_cube
     from models.fold_bn import search_fold_and_remove_bn
@@ -82,7 +90,7 @@ def main():
     sd = {k: v.detach().clone().numpy()
           for k, v in ref_model.state_dict().items()}
 
-    x = rng.randn(1, 1, 16, 16, 16).astype(np.float32)
+    x = rng.randn(1, 1, 64, 64, 64).astype(np.float32)
 
     # ---- reference PTQ (do_ptq essentials, ptqer.py:282-364) ----
     search_fold_and_remove_bn(ref_model)
