@@ -80,6 +80,7 @@ class Trainer:
         loss_fn = self.loss_fn
         head_w = self.head_w
         optimizer = self.optimizer
+        mesh = self.mesh
 
         def loss_and_state(params, state, x, y, rng):
             out, new_state = nnir.apply(
@@ -90,8 +91,21 @@ class Trainer:
             total, arr = multi_output_loss(loss_fn, head_w, out_ncdhw, y)
             return total, (new_state, arr)
 
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            xsh = batch_sharding(mesh)
+            rsh = replicated(mesh)
+
         @jax.jit
         def step(params, state, opt_state, x, y, rng, step_idx):
+            if mesh is not None:
+                # data parallelism: batch axis over the mesh, params
+                # replicated; XLA derives the gradient all-reduce over ICI
+                x = jax.lax.with_sharding_constraint(x, xsh)
+                y = jax.lax.with_sharding_constraint(y, xsh)
+                params = jax.lax.with_sharding_constraint(
+                    params, jax.tree.map(lambda _: rsh, params))
             (loss, (new_state, arr)), grads = jax.value_and_grad(
                 loss_and_state, has_aux=True)(params, state, x, y, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -75,3 +75,30 @@ def test_sharded_patch_inference_matches_local():
         (4, 4, 4), patch_batch=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
                                rtol=1e-3)
+
+
+def test_trainer_with_mesh(tmp_path):
+    """Trainer end-to-end with a device mesh: loss decreases, batch axis
+    sharded across all 8 devices."""
+    from efficientq_tpu.data.datahub import DataHub
+    from efficientq_tpu.data.synthetic import (make_synthetic_dataset,
+                                               task_modalities)
+    from efficientq_tpu.train import Trainer
+
+    data_dir, split_dir = make_synthetic_dataset(
+        str(tmp_path), task="lits", n_subjects=8, vol_shape=(16, 16, 16))
+    hub = DataHub(data_dir, task_modalities("lits"),
+                  train_split=f"{split_dir}/round1/train.txt",
+                  train_batchsize=8, test_batchsize=1, access_type="npy",
+                  crop_type="random", crop_size_img=(8, 8, 8),
+                  slide_patch_size=(8, 8, 8), slide_overlap=(2, 2, 2))
+    cfg, graph, variables = tiny()
+    tr = Trainer(graph, variables, hub, loss_name="ce",
+                 num_mo=len(graph.outputs), n_class=3, base_lr=0.01,
+                 max_epoch=4, snapshot_root=str(tmp_path / "s"),
+                 mesh=make_mesh())
+    first = tr.train_epoch()["loss"]
+    for _ in range(3):
+        last = tr.train_epoch()["loss"]
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first
