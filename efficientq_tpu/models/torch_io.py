@@ -76,10 +76,17 @@ def load_torch_state_dict(graph: Graph, variables, state_dict: Mapping, strict=F
 
 
 def load_torch_checkpoint(graph: Graph, variables, path: str, strict=False):
-    """Load a reference training checkpoint pickle ({'state_dict': ...})."""
-    import torch  # cpu-only torch is available in the image
+    """Load a training checkpoint ({'state_dict': ...}) — torch-serialized
+    (the reference's format) or a plain pickle (ours)."""
+    try:
+        import torch  # cpu-only torch is available in the image
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        import pickle
+
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
     sd = ckpt.get("state_dict", ckpt)
     return load_torch_state_dict(graph, variables, sd, strict)
 
