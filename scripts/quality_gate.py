@@ -33,11 +33,14 @@ from efficientq_tpu import ops
 import jax.numpy as jnp
 
 
+WIDTHS = [8, 16, 32, 16, 8]
+
+
 def model_cfg(qlvl=None):
     q = qlvl is not None
     return UResQConfig(
-        num_mod=1, num_classes=3, depth_config=[1, 1, 1, 1, 1],
-        width_config=[8, 16, 32, 16, 8], dilation_config=[1] * 5,
+        num_mod=1, num_classes=3, depth_config=[1] * len(WIDTHS),
+        width_config=WIDTHS, dilation_config=[1] * len(WIDTHS),
         init_stride=(2, 2, 2), drop_rate=0.2, blk_type="mid", ds="simple",
         ds_depth_limit=3, drop_cut_thres=128,
         quantize=q, qlvl_w=qlvl or 4, qlvl_act=qlvl or 4,
@@ -58,7 +61,12 @@ def main():
     ap.add_argument("--admm_iter", type=int, default=200)
     ap.add_argument("--tune_act", type=int, default=0,
                     help="post-PTQ end-to-end alpha_act Adam iterations")
+    ap.add_argument("--width", type=str, default=None,
+                    help="comma-separated stage widths override")
     args = ap.parse_args()
+    if args.width:
+        global WIDTHS
+        WIDTHS[:] = [int(w) for w in args.width.split(",")]
 
     root = tempfile.mkdtemp(prefix="effq_quality_")
     data_dir, split_dir = make_synthetic_dataset(
