@@ -127,6 +127,15 @@ def main(argv=None):
     if args.config:
         args = merge_config(args.config, args)
 
+    import jax
+
+    if args.debug:
+        # analogue of torch.autograd.set_detect_anomaly(True) +
+        # the NaN check (train_seg.py:174, trainer.py:226-227)
+        jax.config.update("jax_debug_nans", True)
+    if args.device and args.device < len(jax.devices()):
+        jax.config.update("jax_default_device", jax.devices()[args.device])
+
     from .missions import ptq, train_fp
 
     if args.mission == "train_fp":

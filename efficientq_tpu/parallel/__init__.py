@@ -1,2 +1,4 @@
 from .mesh import (batch_sharding, data_parallel_train_step,  # noqa: F401
-                   make_mesh, replicate, shard_batch, shard_patch_inference)
+                   make_mesh, make_mesh_2d, replicate, shard_batch,
+                   shard_patch_inference, tensor_parallel_apply,
+                   tensor_parallel_shardings)

@@ -86,6 +86,54 @@ def data_parallel_train_step(graph, optimizer, loss_fn, head_w, mesh,
     return step
 
 
+def make_mesh_2d(n_data: int, n_model: int,
+                 axes: Sequence[str] = ("data", "model")) -> Mesh:
+    devs = jax.devices()[: n_data * n_model]
+    return Mesh(np.array(devs).reshape(n_data, n_model), tuple(axes))
+
+
+def tensor_parallel_shardings(mesh: Mesh, params, axis_name: str = "model"):
+    """Channel-axis (tensor-parallel) shardings for the parameter tree:
+    conv kernels (DHWIO) and per-channel vectors shard their output-channel
+    axis; scalars replicate.  XLA GSPMD propagates the activation shardings
+    and inserts the all-reduces where a sharded feature axis is contracted
+    (SURVEY.md §2.2 TP row — optional for these model sizes)."""
+    n = mesh.shape[axis_name]
+
+    def spec_for(arr):
+        if arr.ndim == 5 and arr.shape[4] % n == 0:  # conv kernel: shard O
+            return NamedSharding(mesh, P(None, None, None, None, axis_name))
+        if arr.ndim == 1 and arr.shape[0] % n == 0:  # bias / bn vectors
+            return NamedSharding(mesh, P(axis_name))
+        return NamedSharding(mesh, P())  # indivisible layers replicate
+
+    return jax.tree.map(spec_for, params)
+
+
+def tensor_parallel_apply(graph, mesh, variables, x, axis_name: str = "model",
+                          mode: str = "fp", precision=None):
+    """Run one forward with parameters channel-sharded across the mesh's
+    model axis (activations resharded by GSPMD as needed)."""
+    from .. import nnir
+
+    n = mesh.shape[axis_name]
+    p_sh = tensor_parallel_shardings(mesh, variables["params"], axis_name)
+    params = jax.tree.map(jax.device_put, variables["params"], p_sh)
+    state = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(
+            mesh, P(axis_name) if a.ndim == 1 and a.shape[0] % n == 0
+            else P())),
+        variables.get("state", {}))
+    x = jax.device_put(x, NamedSharding(mesh, P()))
+
+    @jax.jit
+    def fwd(params, state, x):
+        return nnir.apply(graph, {"params": params, "state": state}, x,
+                          mode=mode, precision=precision)
+
+    return fwd(params, state, x)
+
+
 def shard_patch_inference(graph, mesh, variables, image, patch_size, overlap,
                           mode: str = "fp", axis_name: str = "data",
                           precision=None):

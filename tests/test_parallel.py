@@ -102,3 +102,17 @@ def test_trainer_with_mesh(tmp_path):
         last = tr.train_epoch()["loss"]
     assert np.isfinite(first) and np.isfinite(last)
     assert last < first
+
+
+def test_tensor_parallel_matches_single_device():
+    """Channel-sharded (TP) forward across a 2x4 mesh equals the local one."""
+    from efficientq_tpu.parallel.mesh import make_mesh_2d, tensor_parallel_apply
+
+    cfg, graph, variables = tiny()
+    mesh = make_mesh_2d(2, 4)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 8, 1)
+                    .astype(np.float32))
+    out_tp = tensor_parallel_apply(graph, mesh, variables, x)
+    ref = nnir.apply(graph, variables, x)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
