@@ -263,7 +263,7 @@ def apply(
 
     Returns stacked head outputs of shape (num_heads, N, D, H, W, C).
     With ``train=True`` returns (out, new_state); with ``capture`` (a list of
-    node names) returns (out, {name: (node_input, node_output)}).
+    node names) returns (out, {name: node_output}).
     """
     assert mode in ("fp", "quantized", "fq")
     params = variables["params"]
@@ -291,7 +291,10 @@ def apply(
                             precision=precision, compute_dtype=compute_dtype)
         values[node.name] = out
         if capture and node.name in capture:
-            captured[node.name] = (ins[0], out)
+            # outputs only: the PTQ sweep recomputes each layer's input from
+            # the quantized prefix, so capturing inputs would double the
+            # held activation memory for nothing
+            captured[node.name] = out
 
     out = jnp.stack([values[n] for n in graph.outputs], axis=0)
     if capture is not None:

@@ -122,7 +122,7 @@ def run_ptq(
             qcfg = node.attrs["qcfg"]
             p = params[node.name]
             x_in = ins[0]
-            y_fp = captured[node.name][1]
+            y_fp = captured[node.name]
             if verbose:
                 print(f"Calibrating {node.name}")
             if qcfg.q_act:
