@@ -99,13 +99,20 @@ def compute_gram_stats(
     dilation=(1, 1, 1),
     has_bias: bool = True,
     max_chunk_elems: int = 1 << 27,
+    scan_threshold: int = 4,
 ) -> GramStats:
     """Build GramStats from NDHWC activation ``x`` and NDHWC target ``y``.
 
     ``att``: optional (N, Do, Ho, Wo) voxel importance (linear weight on the
     squared error, matching x_colH = x_col * att at src/models/solver.py:295).
+
+    Chunked over the output-depth axis; few chunks unroll (cheapest HLO),
+    many chunks roll into a ``lax.scan`` (bounded compile time — the
+    dominant cost on remote-compiled targets), with the ragged tail handled
+    by zero-masking padded positions.
     """
     kD, kH, kW = ksize
+    sD = stride[0]
     pD, pH, pW = padding
     n, _, _, _, c1 = x.shape
     _, Do, Ho, Wo, c2 = y.shape
@@ -116,34 +123,81 @@ def compute_gram_stats(
     # chunk over output depth to bound the materialized column matrix
     per_row = n * Ho * Wo * dim
     chunk_d = max(1, min(Do, int(max_chunk_elems // max(per_row, 1)) or 1))
+    n_chunks = -(-Do // chunk_d)
 
-    A_att = jnp.zeros((dim, dim), jnp.float32)
-    B_att = jnp.zeros((c2, dim), jnp.float32)
-    A_unw = jnp.zeros((dim, dim), jnp.float32)
-    B_unw = jnp.zeros((c2, dim), jnp.float32)
-    yy_att = jnp.float32(0.0)
-    yy_unw = jnp.float32(0.0)
+    def chunk_terms(xc, yc, ac, valid):
+        """One chunk's contributions. xc: (dim, S); yc: (c2, S); ac: (1, S)
+        attention (ones when att is None); valid: (1, S) 0/1 mask."""
+        xc = xc * valid  # zero out padded positions entirely
+        yc = yc * valid
+        A_u = jnp.matmul(xc, xc.T, precision=HI)
+        B_u = jnp.matmul(yc, xc.T, precision=HI)
+        yy_u = jnp.sum(yc * yc)
+        if att is None:
+            return A_u, B_u, A_u, B_u, yy_u, yy_u
+        xh = xc * ac
+        A_a = jnp.matmul(xc, xh.T, precision=HI)
+        B_a = jnp.matmul(yc, xh.T, precision=HI)
+        yy_a = jnp.sum(ac * (yc * yc))
+        return A_a, B_a, A_u, B_u, yy_a, yy_u
 
-    for d0 in range(0, Do, chunk_d):
-        dc = min(chunk_d, Do - d0)
+    def slice_chunk_static(d0, dc):
         xc = _xcol_chunk(xp, d0, dc, (Ho, Wo), ksize, stride, dilation)
         if has_bias:
             xc = jnp.concatenate(
                 [xc, jnp.ones((1, xc.shape[1]), xc.dtype)], axis=0)
-        yc = y[:, d0:d0 + dc]  # (N, dc, Ho, Wo, c2)
-        yc = jnp.moveaxis(yc, -1, 0).reshape(c2, -1)
-        A_unw = A_unw + jnp.matmul(xc, xc.T, precision=HI)
-        B_unw = B_unw + jnp.matmul(yc, xc.T, precision=HI)
-        yy_unw = yy_unw + jnp.sum(yc * yc)
-        if att is not None:
-            ac = att[:, d0:d0 + dc].reshape(1, -1)
-            xh = xc * ac
-            A_att = A_att + jnp.matmul(xc, xh.T, precision=HI)
-            B_att = B_att + jnp.matmul(yc, xh.T, precision=HI)
-            yy_att = yy_att + jnp.sum(ac * (yc * yc))
-    if att is None:
-        A_att, B_att, yy_att = A_unw, B_unw, yy_unw
+        yc = jnp.moveaxis(y[:, d0:d0 + dc], -1, 0).reshape(c2, -1)
+        ac = (att[:, d0:d0 + dc].reshape(1, -1) if att is not None else None)
+        valid = jnp.ones((1, xc.shape[1]), xc.dtype)
+        return xc, yc, ac, valid
 
+    zeros = (jnp.zeros((dim, dim), jnp.float32),
+             jnp.zeros((c2, dim), jnp.float32),
+             jnp.zeros((dim, dim), jnp.float32),
+             jnp.zeros((c2, dim), jnp.float32),
+             jnp.float32(0.0), jnp.float32(0.0))
+
+    if n_chunks <= scan_threshold:
+        acc = zeros
+        for d0 in range(0, Do, chunk_d):
+            terms = chunk_terms(*slice_chunk_static(d0, min(chunk_d, Do - d0)))
+            acc = tuple(a + t for a, t in zip(acc, terms))
+    else:
+        # rolled form: pad Do to a chunk multiple and mask the tail
+        Do_pad = n_chunks * chunk_d
+        y_p = jnp.pad(y, ((0, 0), (0, Do_pad - Do), (0, 0), (0, 0), (0, 0)))
+        att_p = (jnp.pad(att, ((0, 0), (0, Do_pad - Do), (0, 0), (0, 0)))
+                 if att is not None else None)
+        # input depth needed for one chunk of output rows
+        in_d = (chunk_d - 1) * sD + (kD - 1) * dilation[0] + 1
+        need = (Do_pad - 1) * sD + (kD - 1) * dilation[0] + 1
+        xp_p = jnp.pad(xp, ((0, 0), (0, max(0, need - xp.shape[1])),
+                            (0, 0), (0, 0), (0, 0)))
+
+        def body(acc, ci):
+            d0 = ci * chunk_d
+            xsl = jax.lax.dynamic_slice_in_dim(xp_p, d0 * sD, in_d, axis=1)
+            xc = _xcol_chunk(xsl, 0, chunk_d, (Ho, Wo), ksize, stride,
+                             dilation)
+            if has_bias:
+                xc = jnp.concatenate(
+                    [xc, jnp.ones((1, xc.shape[1]), xc.dtype)], axis=0)
+            ysl = jax.lax.dynamic_slice_in_dim(y_p, d0, chunk_d, axis=1)
+            yc = jnp.moveaxis(ysl, -1, 0).reshape(c2, -1)
+            ac = None
+            if att is not None:
+                ac = jax.lax.dynamic_slice_in_dim(att_p, d0, chunk_d,
+                                                  axis=1).reshape(1, -1)
+            # validity mask for the ragged tail
+            rows = d0 + jax.lax.broadcasted_iota(
+                jnp.int32, (n, chunk_d, Ho, Wo), 1)
+            valid = (rows < Do).astype(jnp.float32).reshape(1, -1)
+            terms = chunk_terms(xc, yc, ac, valid)
+            return tuple(a + t for a, t in zip(acc, terms)), None
+
+        acc, _ = jax.lax.scan(body, zeros, jnp.arange(n_chunks))
+
+    A_att, B_att, A_unw, B_unw, yy_att, yy_unw = acc
     return GramStats(A_att, B_att, A_unw, B_unw, yy_att, yy_unw, has_bias,
                      int(np.prod(y.shape)))
 

@@ -130,3 +130,27 @@ def test_admm_beats_naive_projection():
     vals = np.asarray(G).ravel()
     dist = np.min(np.abs(vals[:, None] - grid[None, :]), axis=1)
     assert dist.max() < 1e-4
+
+
+def test_gram_scan_path_matches_unrolled():
+    """Rolled (lax.scan + masked tail) chunking equals the unrolled path."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 9, 6, 5, 3).astype(np.float32))
+    y = jnp.asarray(rng.randn(1, 9, 6, 5, 4).astype(np.float32))
+    att = jnp.asarray(np.abs(rng.randn(1, 9, 6, 5)).astype(np.float32))
+    kw = dict(ksize=(3, 3, 3), stride=(1, 1, 1), padding=(1, 1, 1),
+              has_bias=True)
+    # small chunks so 9 rows -> 5 chunks with a ragged tail of 1
+    a = compute_gram_stats(x, y, att, max_chunk_elems=2 * 6 * 5 * 82,
+                           scan_threshold=100, **kw)   # unrolled
+    b = compute_gram_stats(x, y, att, max_chunk_elems=2 * 6 * 5 * 82,
+                           scan_threshold=1, **kw)     # scanned
+    np.testing.assert_allclose(np.asarray(a.A_att), np.asarray(b.A_att),
+                               atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.B_unw), np.asarray(b.B_unw),
+                               atol=1e-3, rtol=1e-5)
+    assert abs(float(a.yy_att) - float(b.yy_att)) < 1e-2
+    # and both against a one-chunk reference
+    c = compute_gram_stats(x, y, att, **kw)
+    np.testing.assert_allclose(np.asarray(a.A_att), np.asarray(c.A_att),
+                               atol=1e-3, rtol=1e-5)
