@@ -14,13 +14,13 @@ import pickle
 import shutil
 import sys
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
 from ..data import labels as LB
 from ..data.datahub import DataHub
-from ..models import UResQConfig, build_uresq, num_mo as model_num_mo
+from ..models import UResQConfig, num_mo as model_num_mo
 
 
 def parse_triple(s, default=None):

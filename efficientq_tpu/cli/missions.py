@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import os
 import os.path as P
-import time
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os.path as P
 import pickle
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List
 
 import numpy as np
 

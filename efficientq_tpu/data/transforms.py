@@ -8,7 +8,7 @@ draw from an explicit ``numpy.random.Generator`` for reproducibility.
 from __future__ import annotations
 
 import numbers
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional
 
 import numpy as np
 from scipy import ndimage

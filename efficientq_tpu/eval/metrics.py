@@ -8,9 +8,8 @@ lesion counting stays on the host (scipy.ndimage.label).
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 from scipy import ndimage
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import os.path as P
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np

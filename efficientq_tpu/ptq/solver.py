@@ -23,7 +23,6 @@ with an optional trailing bias column (src/models/solver.py:244-256).
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -13,7 +13,7 @@ weights (train_seg.py:114-117).
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

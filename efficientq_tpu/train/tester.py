@@ -9,7 +9,6 @@ from __future__ import annotations
 import os
 import os.path as P
 import pickle
-from typing import Optional
 
 import numpy as np
 

@@ -17,7 +17,6 @@ import os
 import os.path as P
 import pickle
 import time
-from functools import partial
 from typing import Dict, Optional
 
 import jax
