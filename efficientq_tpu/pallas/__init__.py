@@ -1,1 +1,2 @@
-from .qmatmul import fused_qact_matmul, qconv1x1_ndhwc  # noqa: F401
+from .qmatmul import (fused_int8_matmul, fused_qact_matmul,  # noqa: F401
+                      qconv1x1_ndhwc)

@@ -94,6 +94,68 @@ def fused_qact_matmul(
     return out[:M, :N]
 
 
+def _int8_qact_matmul_kernel(scales_ref, x_ref, w_ref, b_ref, o_ref, *,
+                             qlvl_act):
+    """True-integer path: quantize activations to int8 codes on the VPU,
+    int8 x int8 matmul with int32 accumulation on the MXU, f32 scale + bias
+    epilogue (ptq/deploy.py semantics — bit-exact vs fake-quant)."""
+    alpha_act = scales_ref[0]
+    scale = scales_ref[1]  # alpha_act * alpha_w / ((na-1)(nw-1))
+    qa = jnp.clip(x_ref[:] / alpha_act, 0.0, 1.0) * (qlvl_act - 1)
+    qa = jnp.round(qa).astype(jnp.int8)
+    acc = jnp.dot(qa, w_ref[:], preferred_element_type=jnp.int32)
+    o_ref[:] = acc.astype(jnp.float32) * scale + b_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("qlvl_act", "tile_m", "interpret"))
+def fused_int8_matmul(
+    x: jax.Array,
+    w_codes: jax.Array,
+    bias: Optional[jax.Array],
+    alpha_act,
+    scale,
+    qlvl_act: int,
+    tile_m: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """y = (int8_codes(x) @ w_codes) * scale + bias, one Pallas kernel.
+
+    x: (M, K) float32; w_codes: (K, N) int8 (ptq/deploy.py kernel codes);
+    scale: the f32 epilogue scalar.  Uses the MXU's int8 path.
+    """
+    M, K = x.shape
+    K2, N = w_codes.shape
+    assert K == K2
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    Mp = _round_up(M, tile_m)
+    Np = _round_up(N, 128)
+    Kp = _round_up(K, 128)
+    xp = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
+    wp = jnp.pad(w_codes, ((0, Kp - K), (0, Np - N)))
+    bp = jnp.pad(bias, (0, Np - N))[None, :]
+    scales = jnp.stack([jnp.asarray(alpha_act, jnp.float32),
+                        jnp.asarray(scale, jnp.float32)])
+
+    grid = (Mp // tile_m,)
+    kernel = functools.partial(_int8_qact_matmul_kernel, qlvl_act=qlvl_act)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM) if _HAS_PLTPU and not interpret
+            else pl.BlockSpec((2,), lambda i: (0,)),
+            pl.BlockSpec((tile_m, Kp), lambda i: (i, 0)),
+            pl.BlockSpec((Kp, Np), lambda i: (0, 0)),
+            pl.BlockSpec((1, Np), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, Np), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        interpret=interpret,
+    )(scales, xp, wp, bp)
+    return out[:M, :N]
+
+
 def qconv1x1_ndhwc(x, kernel_dhwio, bias, alpha_act, qlvl_act,
                    interpret: bool = False):
     """Quantized-inference 1x1x1 conv via the fused Pallas matmul.

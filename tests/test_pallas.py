@@ -38,3 +38,26 @@ def test_qconv1x1_matches_conv3d():
                       precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(got), np.asarray(conv), atol=2e-2,
                                rtol=2e-2)
+
+
+def test_fused_int8_matmul_matches_deploy_semantics():
+    """Pallas int8 kernel == the deploy-path math (exact integer conv)."""
+    from efficientq_tpu.pallas import fused_int8_matmul
+
+    rng = np.random.RandomState(3)
+    M, K, N = 70, 12, 20
+    na, nw = 4, 4
+    x = jnp.asarray(np.abs(rng.randn(M, K)).astype(np.float32))
+    alpha_a, alpha_w = 1.1, 0.3
+    codes = rng.randint(-(nw - 1), nw, (K, N))
+    codes = codes - (codes % 2 == 0)          # odd symmetric codes
+    codes = np.clip(codes, -(nw - 1), nw - 1).astype(np.int8)
+    b = jnp.asarray(rng.randn(N).astype(np.float32))
+    scale = alpha_a * alpha_w / ((na - 1) * (nw - 1))
+
+    qa = np.round(np.clip(np.asarray(x) / alpha_a, 0, 1) * (na - 1))
+    ref = (qa @ codes.astype(np.int64)) * scale + np.asarray(b)
+
+    got = fused_int8_matmul(x, jnp.asarray(codes), b, alpha_a, scale, na,
+                            tile_m=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-5)
