@@ -13,15 +13,21 @@ import optax
 
 
 def poly_warmup_schedule(base_lr: float, total_iters: int,
-                         warmup_iters: int, exponent: float = 0.9):
-    """lr(step) = base * max(1 - step/total, 0)^0.9 * min(1, (step+1)/warmup).
+                         warmup_iters: int, exponent: float = 0.9,
+                         warmup: str = "linear"):
+    """lr(step) = base * max(1 - step/total, 0)^0.9 * warmup_factor(step).
 
-    The poly factor is LambdaLR's (train_seg.py:99-100); the warmup factor is
-    pytorch_warmup.LinearWarmup's dampening (pytorch_warmup/base.py:80-95).
+    The poly factor is LambdaLR's (train_seg.py:99-100); the warmup factor
+    is pytorch_warmup's dampening — 'linear' min(1, (step+1)/period)
+    (pytorch_warmup/base.py:80-95) or 'exponential' 1 - exp(-(step+1)/period)
+    (base.py:98-113).
     """
     def schedule(step):
         frac = jnp.maximum(1.0 - step / max(total_iters, 1), 0.0) ** exponent
-        warm = jnp.minimum(1.0, (step + 1) / max(warmup_iters, 1))
+        if warmup == "exponential":
+            warm = 1.0 - jnp.exp(-(step + 1) / max(warmup_iters, 1))
+        else:
+            warm = jnp.minimum(1.0, (step + 1) / max(warmup_iters, 1))
         return base_lr * frac * warm
 
     return schedule

@@ -81,3 +81,10 @@ def test_validate_online_returns_metrics(tmp_path):
     md = tr.validate_online(1)
     assert "val/seg_dsc" in md
     assert 0.0 <= md["val/seg_dsc"] <= 1.0
+
+
+def test_exponential_warmup_variant():
+    s = poly_warmup_schedule(1.0, 1000, 10, warmup="exponential")
+    # 1 - exp(-(t+1)/period), matching pytorch_warmup ExponentialWarmup
+    got = float(s(4)) / (1 - 4 / 1000) ** 0.9
+    assert got == pytest.approx(1 - np.exp(-5 / 10), rel=1e-4)
