@@ -207,11 +207,20 @@ def calibrate_layer(
     final_unw = quadratic_mse(stats, W_ext, weighted=False)
     final_att = quadratic_mse(stats, W_ext, weighted=True)
 
+    # the layer's quantized-forward output, fused into this program so the
+    # calibration sweep needs no separate conv compilation per layer
+    kernel_q = flat_to_kernel(bestG, kernel.shape)
+    from .. import ops
+
+    out_q = ops.conv3d(x_q, kernel_q, bestB if has_bias else None, stride,
+                       padding, dilation, precision=jax.lax.Precision.HIGHEST)
+
     return {
-        "kernel": flat_to_kernel(bestG, kernel.shape),
+        "kernel": kernel_q,
         "bias": bestB if has_bias else None,
         "alpha_w": alpha_w,
         "best_loss": best_loss,
         "loss_unweighted": final_unw,
         "loss_reported": final_att if att is not None else final_unw,
+        "out_q": out_q,
     }

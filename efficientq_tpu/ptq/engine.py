@@ -159,10 +159,12 @@ def run_ptq(
                     p["bias"] = res["bias"]
                 p["alpha_w"] = res["alpha_w"]
                 layer_losses.append((node.name, float(res["loss_reported"])))
-            out = ops.conv3d(x_q, p["kernel"], p.get("bias"),
-                             node.attrs["stride"], node.attrs["padding"],
-                             node.attrs["dilation"], node.attrs["groups"],
-                             precision=HI)
+                out = res["out_q"]  # fused into the calibration program
+            else:
+                out = ops.conv3d(x_q, p["kernel"], p.get("bias"),
+                                 node.attrs["stride"], node.attrs["padding"],
+                                 node.attrs["dilation"], node.attrs["groups"],
+                                 precision=HI)
         else:
             out = nnir.eval_node(node, params, state, ins, mode="fp",
                                  precision=HI)
