@@ -206,3 +206,15 @@ class SegMetricMC:
                 parts[-1] += "\n"
             parts.append("%s = %.4f" % (k, v))
         print(", ".join(parts))
+
+
+def auc(prob, target_b) -> float:
+    """Area under the ROC curve (utils/metrics.py:60-67); 1.0 when only one
+    class is present, matching the reference's fallback."""
+    try:
+        from sklearn.metrics import roc_auc_score
+
+        return float(roc_auc_score(np.asarray(target_b).ravel(),
+                                   np.asarray(prob).ravel()))
+    except ValueError:
+        return 1.0

@@ -102,3 +102,10 @@ def test_pred_brats_con_merge():
     out[0, 0, 0, 0, 1] = 10.0
     pred = np.asarray(pred_brats_con_merge(jnp.asarray(out)))
     assert pred[0, 0, 0, 0] == 3
+
+
+def test_auc():
+    prob = np.array([0.1, 0.9, 0.8, 0.2])
+    target = np.array([0, 1, 1, 0])
+    assert abs(M.auc(prob, target) - 1.0) < 1e-6
+    assert M.auc(prob, np.ones(4)) == 1.0  # single-class fallback
