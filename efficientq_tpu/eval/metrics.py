@@ -211,10 +211,13 @@ class SegMetricMC:
 def auc(prob, target_b) -> float:
     """Area under the ROC curve (utils/metrics.py:60-67); 1.0 when only one
     class is present, matching the reference's fallback."""
+    t = np.asarray(target_b).ravel()
+    if len(np.unique(t)) < 2:
+        return 1.0  # single-class fallback (utils/metrics.py:66-67)
     try:
         from sklearn.metrics import roc_auc_score
 
-        return float(roc_auc_score(np.asarray(target_b).ravel(),
-                                   np.asarray(prob).ravel()))
+        v = float(roc_auc_score(t, np.asarray(prob).ravel()))
+        return 1.0 if np.isnan(v) else v
     except ValueError:
         return 1.0
