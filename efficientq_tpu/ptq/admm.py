@@ -143,7 +143,7 @@ def admm_quantize(
 
 
 @partial(jax.jit, static_argnames=("ksize", "stride", "padding", "dilation",
-                                   "qlvl_w", "has_bias", "hp"))
+                                   "qlvl_w", "qlvl_act", "has_bias", "hp"))
 def calibrate_layer(
     x_q: jax.Array,
     y_fp: jax.Array,
@@ -158,18 +158,29 @@ def calibrate_layer(
     qlvl_w: int,
     has_bias: bool,
     hp: PTQHyperParams,
+    qlvl_act: Optional[int] = None,
 ):
     """Calibrate one conv layer.
 
-    x_q: NDHWC quantized (or FP, if q_act off) input activation
+    x_q: NDHWC input activation.  When ``qlvl_act`` is given, the optimal
+    activation scale is found and the input fake-quantized *inside this
+    program* (one XLA compilation per layer instead of two); when None the
+    input is used as-is (already quantized, or q_act off).
     y_fp: NDHWC full-precision target output
     kernel/bias: current FP (BN-folded) parameters
     att: optional (N, Do, Ho, Wo) attention weights
 
     Returns dict with quantized kernel (DHWIO, values = alpha_w * grid),
-    bias, alpha_w, best unweighted loss, and the final reported layer loss
-    (attention-weighted when att is given, per EfficientQConv.py:161-166).
+    bias, alpha_w, alpha_act (None unless qlvl_act given), the layer's
+    quantized output, best unweighted loss, and the final reported layer
+    loss (attention-weighted when att is given, EfficientQConv.py:161-166).
     """
+    alpha_act = None
+    if qlvl_act is not None:
+        a_act, b_act = project_by_iter(x_q, qlvl_act, 0.0, 1.0)
+        alpha_act = a_act
+        x_q = a_act * b_act
+
     w_flat0 = kernel_to_flat(kernel)
 
     # rho scaling (EfficientQConv.py:44-61)
@@ -219,6 +230,7 @@ def calibrate_layer(
         "kernel": kernel_q,
         "bias": bestB if has_bias else None,
         "alpha_w": alpha_w,
+        "alpha_act": alpha_act,
         "best_loss": best_loss,
         "loss_unweighted": final_unw,
         "loss_reported": final_att if att is not None else final_unw,

@@ -125,21 +125,18 @@ def run_ptq(
             y_fp = captured[node.name]
             if verbose:
                 print(f"Calibrating {node.name}")
-            if qcfg.q_act:
-                a_act, b_act = project_by_iter(x_in, qcfg.qlvl_act, 0.0, 1.0)
-                p["alpha_act"] = a_act
-                x_q = a_act * b_act
-            else:
-                x_q = x_in
             if qcfg.q_weight:
+                # activation-scale search, Gram build, ADMM and the layer's
+                # quantized forward are ONE jitted program per layer
                 att = match_pyramid_level(pyramid, y_fp.shape)
                 kw = dict(ksize=node.attrs["kernel_size"],
                           stride=node.attrs["stride"],
                           padding=node.attrs["padding"],
                           dilation=node.attrs["dilation"],
-                          qlvl_w=qcfg.qlvl_w, has_bias="bias" in p, hp=hp)
+                          qlvl_w=qcfg.qlvl_w, has_bias="bias" in p, hp=hp,
+                          qlvl_act=qcfg.qlvl_act if qcfg.q_act else None)
                 try:
-                    res = calibrate_layer(x_q, y_fp, p["kernel"],
+                    res = calibrate_layer(x_in, y_fp, p["kernel"],
                                           p.get("bias"), att, **kw)
                 except Exception as e:  # accelerator OOM -> host fallback
                     # (the reference's GPU-OOM -> CPU path,
@@ -149,7 +146,7 @@ def run_ptq(
                     print(f"{node.name}: device OOM, calibrating on CPU")
                     cpu = jax.devices("cpu")[0]
                     args_cpu = [jax.device_put(t, cpu) if t is not None else None
-                                for t in (x_q, y_fp, p["kernel"],
+                                for t in (x_in, y_fp, p["kernel"],
                                           p.get("bias"), att)]
                     res = calibrate_layer(*args_cpu, **kw)
                     res = {k: (jnp.asarray(v) if v is not None else None)
@@ -158,9 +155,19 @@ def run_ptq(
                 if res["bias"] is not None:
                     p["bias"] = res["bias"]
                 p["alpha_w"] = res["alpha_w"]
+                if res["alpha_act"] is not None:
+                    p["alpha_act"] = res["alpha_act"]
                 layer_losses.append((node.name, float(res["loss_reported"])))
                 out = res["out_q"]  # fused into the calibration program
             else:
+                # act-only quantization (q_weight off): no ADMM
+                if qcfg.q_act:
+                    a_act, b_act = project_by_iter(x_in, qcfg.qlvl_act,
+                                                   0.0, 1.0)
+                    p["alpha_act"] = a_act
+                    x_q = a_act * b_act
+                else:
+                    x_q = x_in
                 out = ops.conv3d(x_q, p["kernel"], p.get("bias"),
                                  node.attrs["stride"], node.attrs["padding"],
                                  node.attrs["dilation"], node.attrs["groups"],
