@@ -221,3 +221,8 @@ def auc(prob, target_b) -> float:
         return 1.0 if np.isnan(v) else v
     except ValueError:
         return 1.0
+
+
+def num_true_positive(pred_b, target_b) -> float:
+    """Lesions in target hit by pred (utils/metrics.py:96-97)."""
+    return num_positive(pred_b, target_b) - num_false_negative(pred_b, target_b)
