@@ -91,3 +91,28 @@ def test_bin_label_pipeline(workdir, monkeypatch):
         "--bin_label", "1", "--no_test", *TINY[:-2], "--nClass", "3",
     ])
     assert P.isfile(P.join(snap, "loss.txt"))
+
+
+def test_resume_reuses_experiment_dir(workdir, monkeypatch):
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+    common = [
+        "--task", "lits", "--data_dir", data_dir, "--split_dir", split_dir,
+        "--round", "1", "--patch_size", "8,8,8", "--batch_size", "2",
+        "--crop_type", "random", "--loss", "ce", "--lr", "0.01",
+        "--disp_interval", "1", "--no_test", *TINY,
+    ]
+    snap = main(["train_fp", "--max_epoch", "2", "--test_interval", "99",
+                 *common])
+    ckpt = P.join(snap, "state_0002.pkl")
+    assert P.isfile(ckpt)
+    snap2 = main(["train_fp", "--max_epoch", "4", "--test_interval", "99",
+                  "--resume", ckpt, *common])
+    # resumed run continues in the ORIGINAL experiment dir
+    # (train_seg.py:68-69) and reaches epoch 4
+    assert P.realpath(snap2) == P.realpath(snap)
+    assert P.isfile(P.join(snap, "state_0004.pkl"))
+    # loss.txt accumulated epochs from both runs
+    with open(P.join(snap, "loss.txt")) as f:
+        epochs = [int(l.split(",")[0]) for l in f.read().splitlines() if l]
+    assert 4 in epochs and min(epochs) == 1
