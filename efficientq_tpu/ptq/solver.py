@@ -99,11 +99,17 @@ def compute_gram_stats(
     has_bias: bool = True,
     max_chunk_elems: int = 1 << 27,
     scan_threshold: int = 4,
+    valid_depth=None,
 ) -> GramStats:
     """Build GramStats from NDHWC activation ``x`` and NDHWC target ``y``.
 
     ``att``: optional (N, Do, Ho, Wo) voxel importance (linear weight on the
     squared error, matching x_colH = x_col * att at src/models/solver.py:295).
+
+    ``valid_depth``: optional scalar (static int or traced) — output-depth
+    rows >= valid_depth contribute nothing (used by the mesh-sharded path,
+    parallel/ptq.py, whose per-device slabs are zero-padded to equal size;
+    without the mask the bias ones-row would pollute A from padded rows).
 
     Chunked over the output-depth axis; few chunks unroll (cheapest HLO),
     many chunks roll into a ``lax.scan`` (bounded compile time — the
@@ -147,7 +153,11 @@ def compute_gram_stats(
                 [xc, jnp.ones((1, xc.shape[1]), xc.dtype)], axis=0)
         yc = jnp.moveaxis(y[:, d0:d0 + dc], -1, 0).reshape(c2, -1)
         ac = (att[:, d0:d0 + dc].reshape(1, -1) if att is not None else None)
-        valid = jnp.ones((1, xc.shape[1]), xc.dtype)
+        if valid_depth is None:
+            valid = jnp.ones((1, xc.shape[1]), xc.dtype)
+        else:
+            rows = d0 + jax.lax.broadcasted_iota(jnp.int32, (n, dc, Ho, Wo), 1)
+            valid = (rows < valid_depth).astype(jnp.float32).reshape(1, -1)
         return xc, yc, ac, valid
 
     zeros = (jnp.zeros((dim, dim), jnp.float32),
@@ -187,10 +197,12 @@ def compute_gram_stats(
             if att is not None:
                 ac = jax.lax.dynamic_slice_in_dim(att_p, d0, chunk_d,
                                                   axis=1).reshape(1, -1)
-            # validity mask for the ragged tail
+            # validity mask for the ragged tail (and the caller's valid_depth)
             rows = d0 + jax.lax.broadcasted_iota(
                 jnp.int32, (n, chunk_d, Ho, Wo), 1)
-            valid = (rows < Do).astype(jnp.float32).reshape(1, -1)
+            limit = (Do if valid_depth is None
+                     else jnp.minimum(Do, valid_depth))
+            valid = (rows < limit).astype(jnp.float32).reshape(1, -1)
             terms = chunk_terms(xc, yc, ac, valid)
             return tuple(a + t for a, t in zip(acc, terms)), None
 

@@ -104,6 +104,47 @@ def test_trainer_with_mesh(tmp_path):
     assert last < first
 
 
+def test_sharded_gram_stats_matches_single_device():
+    """Mesh-sharded Gram accumulation (psum over the depth-slab axis) equals
+    the single-chip compute_gram_stats, incl. a ragged last slab."""
+    from efficientq_tpu.parallel import sharded_gram_stats
+    from efficientq_tpu.ptq.solver import compute_gram_stats
+
+    mesh = make_mesh()
+    rng = np.random.RandomState(7)
+    # Do=13 over 8 devices -> chunk 2, last device fully masked (ceil: 7*2=14)
+    x = jnp.asarray(rng.randn(2, 13, 5, 5, 3).astype(np.float32))
+    y = jnp.asarray(rng.randn(2, 13, 5, 5, 4).astype(np.float32))
+    att = jnp.asarray(rng.rand(2, 13, 5, 5).astype(np.float32))
+    for a in (att, None):
+        sh = sharded_gram_stats(mesh, x, y, a, (3, 3, 3), (1, 1, 1),
+                                (1, 1, 1))
+        ref = compute_gram_stats(x, y, a, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+        for f in ("A_att", "B_att", "A_unw", "B_unw", "yy_att", "yy_unw"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sh, f)), np.asarray(getattr(ref, f)),
+                rtol=2e-4, atol=2e-4, err_msg=f)
+        assert sh.numel_y == ref.numel_y
+
+
+def test_sharded_gram_stats_strided():
+    """Strided + anisotropic case (BraTS init conv shape class)."""
+    from efficientq_tpu.parallel import sharded_gram_stats
+    from efficientq_tpu.ptq.solver import compute_gram_stats
+
+    mesh = make_mesh()
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 18, 8, 8, 2).astype(np.float32))
+    y = jnp.asarray(rng.randn(1, 9, 4, 4, 3).astype(np.float32))
+    att = jnp.asarray(rng.rand(1, 9, 4, 4).astype(np.float32))
+    sh = sharded_gram_stats(mesh, x, y, att, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    ref = compute_gram_stats(x, y, att, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(sh.A_att), np.asarray(ref.A_att),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sh.B_att), np.asarray(ref.B_att),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_tensor_parallel_matches_single_device():
     """Channel-sharded (TP) forward across a 2x4 mesh equals the local one."""
     from efficientq_tpu.parallel.mesh import make_mesh_2d, tensor_parallel_apply
