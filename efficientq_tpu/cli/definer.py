@@ -139,6 +139,22 @@ def get_model_config(args) -> Tuple[UResQConfig, str, int]:
     if args.model not in ("UResQ",):
         raise ValueError(f"Unknown model name: {args.model}")
 
+    # --nla selects in-place vs non-in-place ReLU (definer.py:179-184);
+    # for the 'mid' ordering this changes the residual math (the in-place
+    # relu mutates the skip source), so it must reach the model config.
+    nla = args.nla.lower()
+    if nla == "relu":
+        inplace_nla = True
+    elif nla == "reluf":
+        inplace_nla = False
+    else:
+        raise RuntimeError(f"Unknown NLA name: {args.nla}")
+
+    # only BN is supported; hard-error on anything else rather than
+    # silently running BN (definer.py:187-191)
+    if args.norm.lower() != "bn":
+        raise NotImplementedError("Norm type should be in BN")
+
     init_stride = parse_triple(args.init_stride)
     widths = ([int(x) for x in args.width.split(",")] if args.width
               else [32, 64, 128, 256, 128, 64, 32])
@@ -170,6 +186,7 @@ def get_model_config(args) -> Tuple[UResQConfig, str, int]:
         ds=args.ds or None, init_kernel=args.init_kernel, fuse_bn=True,
         drop_cut_thres=128, ds_depth_limit=ds_depth_limit,
         aniso_pool_depth=aniso_pool_depth, aniso_pool_stride=(2, 2, 1),
+        inplace_nla=inplace_nla,
         quantize=quantize, qlvl_w=qlvl_w, qlvl_act=qlvl_act,
         q_weight=(args.qlvl_w or 0) > 0 if quantize else False,
         q_act=(args.qlvl_a or 0) > 0 if quantize else False,

@@ -177,6 +177,14 @@ def ptq(args):
         f.write(report.time_cost_line())
     with open(P.join(snap_dir, "layer_loss.txt"), "w") as f:
         f.write("\n".join(report.layer_loss_lines()))
+    # per-layer ADMM trajectories (loss/residuals/rho per iteration) — the
+    # reference's loss_history + plot_save observability
+    # (EfficientQConv.py:122-127, ptqer.py:275-279), as one npz
+    np.savez_compressed(
+        P.join(snap_dir, "layer_loss_curve.npz"),
+        **{f"{name}/{k}": v
+           for name, hist in report.layer_histories.items()
+           for k, v in hist.items()})
     with open(P.join(snap_dir, "class_voxel_nums.txt"), "w") as f:
         for n in report.class_voxel_nums:
             f.write(f"{n}\n")

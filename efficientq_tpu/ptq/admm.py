@@ -87,7 +87,11 @@ def admm_quantize(
     passes a direct-convolution loss when the layer's spatial extent is
     small — cheaper there, and free of quadratic-form cancellation).
 
-    Returns (bestG_flat, bestB, best_alpha_w, best_loss).
+    Returns (bestG_flat, bestB, best_alpha_w, best_loss, history) where
+    ``history`` is a dict of (admm_iter,) arrays — per-iteration loss,
+    primal/dual residual norms and rho — the --lwq_verbose trajectory the
+    reference prints every 10 iterations and dumps via plot_save
+    (src/models/EfficientQConv.py:113-127, src/ptqer.py:275-279).
     """
     c2 = w_flat0.shape[0]
     has_bias = stats.has_bias
@@ -114,12 +118,13 @@ def admm_quantize(
         def loss_fn(Gw, b):
             return quadratic_mse(stats, ext(Gw, b), weighted=False)
 
+    hist_chunks = []
     for mult, n_iters, dual_factor in rho_segments(hp):
         rho = mult * rho_scale
         A = make_system(stats, rho, eta, hp.mu)
         chol = jax.scipy.linalg.cho_factor(A)
 
-        def body(_, carry, rho=rho, chol=chol):
+        def body(carry, _, rho=rho, chol=chol):
             G, dual, bestG, bestB, bestLoss, bestA = carry
             w_star, b_star = solve_proximal(chol, stats, rho, eta, G - dual,
                                             W0_ext)
@@ -132,14 +137,24 @@ def admm_quantize(
             bestB = jnp.where(better, b_star, bestB)
             bestA = jnp.where(better, a_w, bestA)
             bestLoss = jnp.minimum(loss, bestLoss)
-            return (G_new, dual_new, bestG, bestB, bestLoss, bestA)
+            # lwq_verbose diagnostics (EfficientQConv.py:115-127): primal
+            # residual |w*-G|, dual residual rho*|G-G0|
+            pres = jnp.linalg.norm(w_star - G_new)
+            dres = rho * jnp.linalg.norm(G_new - G)
+            return ((G_new, dual_new, bestG, bestB, bestLoss, bestA),
+                    (loss, pres, dres, jnp.broadcast_to(rho, ())))
 
         carry = (G, dual, bestG, bestB, bestLoss, bestA)
-        G, dual, bestG, bestB, bestLoss, bestA = jax.lax.fori_loop(
-            0, n_iters, body, carry)
+        carry, ys = jax.lax.scan(body, carry, None, length=n_iters)
+        G, dual, bestG, bestB, bestLoss, bestA = carry
+        hist_chunks.append(ys)
         dual = dual * dual_factor
 
-    return bestG, bestB, bestA, bestLoss
+    history = {
+        k: jnp.concatenate([jnp.atleast_1d(c[i]) for c in hist_chunks])
+        for i, k in enumerate(("loss", "primal_residual", "dual_residual",
+                               "rho"))}
+    return bestG, bestB, bestA, bestLoss, history
 
 
 @partial(jax.jit, static_argnames=("ksize", "stride", "padding", "dilation",
@@ -210,7 +225,7 @@ def calibrate_layer(
                              dilation, precision=jax.lax.Precision.HIGHEST)
             return jnp.mean((out - y_fp) ** 2)
 
-    bestG, bestB, alpha_w, best_loss = admm_quantize(
+    bestG, bestB, alpha_w, best_loss, history = admm_quantize(
         w_flat0, bias, stats, qlvl_w, rho_scale, hp, loss_fn=loss_fn)
 
     W_ext = (jnp.concatenate([bestG, bestB[:, None]], axis=1)
@@ -235,4 +250,5 @@ def calibrate_layer(
         "loss_unweighted": final_unw,
         "loss_reported": final_att if att is not None else final_unw,
         "out_q": out_q,
+        "history": history,
     }

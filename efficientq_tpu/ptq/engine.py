@@ -26,6 +26,7 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import nnir, ops
 from ..nnir import Graph
@@ -45,6 +46,11 @@ class PTQReport:
     calibration_seconds: float
     output_fp: jnp.ndarray
     output_q: jnp.ndarray
+    # per-layer ADMM trajectories {layer: {loss,primal_residual,
+    # dual_residual,rho: (admm_iter,)}} — the reference's loss_history /
+    # plot_save observability (EfficientQConv.py:122-127, ptqer.py:275-279)
+    layer_histories: Dict[str, Dict[str, "jnp.ndarray"]] = dataclasses.field(
+        default_factory=dict)
 
     def layer_loss_lines(self) -> List[str]:
         """layer_loss.txt formatting (src/ptqer.py:369-370,
@@ -113,6 +119,7 @@ def run_ptq(
 
     # ---- the calibration sweep ----
     layer_losses: List[Tuple[str, float]] = []
+    layer_histories: Dict[str, Dict[str, np.ndarray]] = {}
     values: Dict[str, jnp.ndarray] = {graph.input_name: calib_x}
     for node in graph.nodes:
         if node.op == "input":
@@ -158,6 +165,18 @@ def run_ptq(
                 if res["alpha_act"] is not None:
                     p["alpha_act"] = res["alpha_act"]
                 layer_losses.append((node.name, float(res["loss_reported"])))
+                hist = {k: np.asarray(v) for k, v in res["history"].items()}
+                layer_histories[node.name] = hist
+                if verbose:
+                    # the reference prints the trajectory every 10 iters
+                    # DURING the loop (EfficientQConv.py:123-127); ours is a
+                    # compiled loop, so print it after the layer completes
+                    for i in range(0, len(hist["loss"]), 10):
+                        print(f"ADMM iter {i + 1}: primal residual = "
+                              f"{hist['primal_residual'][i]:.4f}, "
+                              f"dual residual = {hist['dual_residual'][i]:.4f}"
+                              f", rho = {hist['rho'][i]:.4f}, "
+                              f"loss = {hist['loss'][i]:.7f}.")
                 out = res["out_q"]  # fused into the calibration program
             else:
                 # act-only quantization (q_weight off): no ADMM
@@ -182,5 +201,6 @@ def run_ptq(
     t2 = time.time()
 
     new_vars = {"params": params, "state": state}
-    report = PTQReport(layer_losses, nums, t1 - t0, t2 - t1, out_fp, out_q)
+    report = PTQReport(layer_losses, nums, t1 - t0, t2 - t1, out_fp, out_q,
+                       layer_histories)
     return graph, new_vars, report

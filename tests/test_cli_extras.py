@@ -45,6 +45,10 @@ def test_ptq_with_test_fp(workdir, monkeypatch):
     ])
     # --test_fp evaluates the FP model before quantization (ptqer.py:309-310)
     assert P.isfile(P.join(snap_ptq, "fp", "val_seg.txt"))
+    # per-layer ADMM trajectories (ptqer.py:275-279 observability)
+    curves = np.load(P.join(snap_ptq, "layer_loss_curve.npz"))
+    loss_keys = [k for k in curves.files if k.endswith("/loss")]
+    assert loss_keys and all(curves[k].shape == (3,) for k in loss_keys)
 
 
 def test_label_free_inference(workdir, tmp_path):
@@ -116,3 +120,23 @@ def test_resume_reuses_experiment_dir(workdir, monkeypatch):
     with open(P.join(snap, "loss.txt")) as f:
         epochs = [int(l.split(",")[0]) for l in f.read().splitlines() if l]
     assert 4 in epochs and min(epochs) == 1
+
+
+def test_nla_and_norm_flags():
+    """--nla maps to inplace_nla (definer.py:179-184); unsupported values and
+    non-BN norms hard-error (definer.py:187-191) instead of being ignored."""
+    from efficientq_tpu.cli.definer import get_model_config
+    from efficientq_tpu.cli.entrance import build_parser
+
+    base = ["train_fp", "--task", "lits", *TINY]
+    parser = build_parser()
+
+    cfg, _, _ = get_model_config(parser.parse_args(base))
+    assert cfg.inplace_nla is True
+    cfg, _, _ = get_model_config(parser.parse_args(base + ["--nla", "reluf"]))
+    assert cfg.inplace_nla is False
+    with pytest.raises(RuntimeError, match="Unknown NLA"):
+        get_model_config(parser.parse_args(base + ["--nla", "gelu"]))
+    with pytest.raises(NotImplementedError, match="Norm type"):
+        get_model_config(parser.parse_args(
+            base + ["--norm", "gn", "--group_num", "8"]))

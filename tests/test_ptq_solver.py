@@ -118,7 +118,16 @@ def test_admm_beats_naive_projection():
                                has_bias=True)
     w_flat = kernel_to_flat(w)
     hp = PTQHyperParams(admm_iter=60)
-    G, B, alpha, loss = admm_quantize(w_flat, b, stats, 4, jnp.float32(1.0), hp)
+    G, B, alpha, loss, hist = admm_quantize(w_flat, b, stats, 4,
+                                            jnp.float32(1.0), hp)
+    # the lwq_verbose trajectory: one entry per ADMM iteration, and the best
+    # tracked loss is the minimum of the per-iteration losses
+    assert all(hist[k].shape == (hp.admm_iter,)
+               for k in ("loss", "primal_residual", "dual_residual", "rho"))
+    assert np.isclose(float(jnp.min(hist["loss"])), float(loss), rtol=1e-6)
+    assert float(hist["rho"][0]) == hp.rho
+    assert float(hist["rho"][1]) == hp.rho * 2  # doubles after iter 0
+    assert float(hist["rho"][-1]) <= hp.rho_max
 
     # naive: project weights, keep bias
     a_n, b_n = project_by_iter(w_flat, 4, -1.0, 1.0)

@@ -47,7 +47,7 @@ class _Args:
     resume = None
 
 
-def build_reference_model():
+def build_reference_model(nla="relu"):
     # the reference's utils.misc imports pytz (absent here) for timestamp
     # formatting only; stub it so the model factory can be imported
     import types
@@ -60,13 +60,15 @@ def build_reference_model():
     try:
         from definer import get_model_cube
 
-        cube, _ = get_model_cube(_Args())
+        args = _Args()
+        args.nla = nla
+        cube, _ = get_model_cube(args)
         return cube["model"], cube["num_mo"]
     finally:
         sys.path.remove(REF)
 
 
-def our_config():
+def our_config(inplace_nla=True):
     from efficientq_tpu.models import UResQConfig
 
     return UResQConfig(
@@ -74,7 +76,7 @@ def our_config():
         width_config=[4, 8, 4], dilation_config=[1, 1, 1],
         init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid", ds="simple",
         ds_depth_limit=3, drop_cut_thres=128, aniso_pool_depth=99999,
-        aniso_pool_stride=(2, 2, 1), fuse_bn=True)
+        aniso_pool_stride=(2, 2, 1), fuse_bn=True, inplace_nla=inplace_nla)
 
 
 def test_forward_matches_reference_model():
@@ -126,6 +128,58 @@ def test_forward_matches_reference_model():
     assert got.shape == ref_out.shape == (ref_num_mo, 1, 3, 16, 16, 16)
     scale = np.abs(ref_out).max()
     np.testing.assert_allclose(got, ref_out, atol=3e-3 * scale, rtol=3e-3)
+
+
+def test_reluf_forward_matches_reference_model():
+    """--nla reluf (non-in-place ReLU, definer.py:179-184) changes the 'mid'
+    ordering's residual math: the skip path adds x rather than relu(x).
+    Our inplace_nla=False graph must match the reference's reluf model."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficientq_tpu import nnir, ops
+    from efficientq_tpu.models import build_uresq, torch_io
+
+    torch.manual_seed(2)
+    ref_model, ref_num_mo = build_reference_model(nla="reluf")
+    ref_model.eval()
+    rng = np.random.RandomState(2)
+    for m in ref_model.modules():
+        if m.__class__.__name__ == "BatchNorm3d":
+            m.running_mean.copy_(torch.from_numpy(
+                rng.randn(*m.running_mean.shape).astype(np.float32) * 0.1))
+            m.running_var.copy_(torch.from_numpy(
+                (np.abs(rng.randn(*m.running_var.shape)) * 0.3 + 0.7)
+                .astype(np.float32)))
+
+    graph = build_uresq(our_config(inplace_nla=False))
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables = torch_io.load_torch_state_dict(graph, variables, sd,
+                                               strict=False)
+
+    x = rng.randn(1, 2, 16, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x)).numpy()
+
+    got = nnir.apply(graph, variables, ops.ncdhw_to_ndhwc(jnp.asarray(x)),
+                     precision=jax.lax.Precision.HIGHEST)
+    got = np.moveaxis(np.asarray(got), -1, 2)
+    assert got.shape == ref_out.shape == (ref_num_mo, 1, 3, 16, 16, 16)
+    scale = np.abs(ref_out).max()
+    np.testing.assert_allclose(got, ref_out, atol=3e-3 * scale, rtol=3e-3)
+
+    # and the two nla modes genuinely differ (else this test proves nothing)
+    graph_ip = build_uresq(our_config(inplace_nla=True))
+    vars_ip = nnir.init(graph_ip, jax.random.PRNGKey(0))
+    vars_ip = torch_io.load_torch_state_dict(graph_ip, vars_ip, sd,
+                                             strict=False)
+    got_ip = nnir.apply(graph_ip, vars_ip, ops.ncdhw_to_ndhwc(jnp.asarray(x)),
+                        precision=jax.lax.Precision.HIGHEST)
+    assert not np.allclose(np.asarray(got_ip), np.moveaxis(got, 2, -1),
+                           atol=1e-5)
 
 
 def test_fold_bn_matches_reference_fold():
