@@ -58,30 +58,61 @@ def main():
     vj = jnp.asarray(vol)
 
     from efficientq_tpu.ptq.attention import pred_brats_con_merge
+    from efficientq_tpu.ptq.deploy import to_int8_inference
 
-    @jax.jit
-    def infer_volume(v, image):
-        def model_fn(xb):
-            # bf16 operands / f32 accumulation: at 2-bit quantization the
-            # bf16 rounding of grid values is noise, and the MXU runs at
-            # full bf16 throughput
-            return nnir.apply(fgraph, v, xb, mode="quantized",
-                              compute_dtype=jnp.bfloat16)
+    def make_infer(g):
+        @jax.jit
+        def infer_volume(v, image):
+            def model_fn(xb):
+                # bf16 operands / f32 accumulation for the XLA convs: at
+                # 2-bit quantization the bf16 rounding of grid values is
+                # noise, and the MXU runs at full bf16 throughput.  Pallas-
+                # flagged int8 nodes run their own fused MXU kernels.
+                return nnir.apply(g, v, xb, mode="quantized",
+                                  compute_dtype=jnp.bfloat16)
 
-        logits = sliding_window_inference(model_fn, image, patch, overlap,
-                                          patch_batch=6)
-        # end-to-end serving output: hard segmentation (uint8), so the timed
-        # loop can materialize each result on the host cheaply
-        return pred_brats_con_merge(logits[-1]).astype(jnp.uint8)
+            logits = sliding_window_inference(model_fn, image, patch, overlap,
+                                              patch_batch=6)
+            # end-to-end serving output: hard segmentation (uint8), so the
+            # timed loop can materialize each result on the host cheaply
+            return pred_brats_con_merge(logits[-1]).astype(jnp.uint8)
 
-    seg = np.asarray(infer_volume(fvars, vj))  # compile + warmup + transfer
-    assert seg.shape == (1, *vol_shape)
+        return infer_volume
+
     iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        seg = np.asarray(infer_volume(fvars, vj))  # host materialization
-    tpu_vol_sec = (time.perf_counter() - t0) / iters
-    tpu_volumes_per_sec = 1.0 / tpu_vol_sec
+
+    def time_sync(infer, v):
+        """Synchronous serving: block on the host materialization per
+        volume (includes tunnel/transfer latency)."""
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            seg = np.asarray(infer(v, vj))
+        return iters / (time.perf_counter() - t0)
+
+    def time_async(infer, v):
+        """Pipelined device throughput: keep the device queue full (the
+        deployment mode with concurrent volumes), materialize at the end."""
+        t0 = time.perf_counter()
+        segs = [infer(v, vj) for _ in range(iters)]
+        jax.block_until_ready(segs)
+        return iters / (time.perf_counter() - t0)
+
+    infer_bf16 = make_infer(fgraph)
+    seg = np.asarray(infer_bf16(fvars, vj))  # compile + warmup + transfer
+    assert seg.shape == (1, *vol_shape)
+    sync_vps = time_sync(infer_bf16, fvars)
+    async_vps = time_async(infer_bf16, fvars)
+
+    # int8 deployment: true-integer MXU arithmetic through the fused Pallas
+    # kernels (ptq/deploy.py + pallas/qconv3d.py), bit-exact vs fake-quant
+    igraph, ivars = to_int8_inference(fgraph, fvars)
+    infer_int8 = make_infer(igraph)
+    seg8 = np.asarray(infer_int8(ivars, vj))
+    assert seg8.shape == (1, *vol_shape)
+    int8_sync_vps = time_sync(infer_int8, ivars)
+    int8_async_vps = time_async(infer_int8, ivars)
+
+    tpu_volumes_per_sec = max(sync_vps, int8_sync_vps)
 
     # torch CPU FP32 baseline: one 128^3 patch through the same graph,
     # extrapolated to the 18-patch volume (a full CPU volume would take
@@ -98,6 +129,12 @@ def main():
         "value": round(tpu_volumes_per_sec, 4),
         "unit": "volumes/sec",
         "vs_baseline": round(tpu_volumes_per_sec / cpu_volumes_per_sec, 2),
+        "variants": {
+            "bf16_sync": round(sync_vps, 4),
+            "bf16_async": round(async_vps, 4),
+            "int8_pallas_sync": round(int8_sync_vps, 4),
+            "int8_pallas_async": round(int8_async_vps, 4),
+        },
     }))
 
 

@@ -173,10 +173,49 @@ def init(graph: Graph, rng: jax.Array):
 # ---------------------------------------------------------------------------
 
 
+def _pallas_1x1_eligible(a) -> bool:
+    return (a["kernel_size"] == (1, 1, 1) and a["stride"] == (1, 1, 1)
+            and a["padding"] == (0, 0, 0) and a["groups"] == 1)
+
+
+def _pallas_3x3_int8_eligible(a) -> bool:
+    """Interior 3^3 qconvs: stride 1, isotropic 'same' padding = dilation."""
+    return (a["kernel_size"] == (3, 3, 3) and a["stride"] == (1, 1, 1)
+            and a["padding"] == a["dilation"] and len(set(a["dilation"])) == 1
+            and a["groups"] == 1)
+
+
 def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision,
                compute_dtype=None):
     a = node.attrs
     qcfg: Optional[QCfg] = a.get("qcfg")
+    if (a.get("pallas") and mode in ("quantized", "fq") and qcfg is not None
+            and qcfg.q_act):
+        # product inference hot path: act-quant prologue fused into the
+        # conv/matmul in one Pallas kernel (pallas/), instead of a separate
+        # HBM round-trip.  Flags set by pallas.to_pallas_inference, which
+        # guarantees geometry eligibility.
+        from .pallas.qconv3d import qconv3x3_int8_ndhwc
+        from .pallas.qmatmul import fused_int8_matmul, qconv1x1_ndhwc
+
+        interpret = jax.default_backend() != "tpu"
+        n, d, h, w_sp, c = x.shape
+        if a.get("int8") and a["kernel_size"] == (3, 3, 3):
+            return qconv3x3_int8_ndhwc(
+                x, p["kernel_int8"], p.get("bias"), p["alpha_act"],
+                p["scale"], qcfg.qlvl_act, dilation=a["dilation"][0],
+                interpret=interpret)
+        if a.get("int8"):
+            y = fused_int8_matmul(
+                x.reshape(-1, c), p["kernel_int8"].reshape(c, -1),
+                p.get("bias"), p["alpha_act"], p["scale"], qcfg.qlvl_act,
+                interpret=interpret)
+            return y.reshape(n, d, h, w_sp, -1)
+        kernel = p["kernel"]
+        if mode == "fq" and qcfg.q_weight:
+            kernel = fake_quant_weight(kernel, p["alpha_w"], qcfg.qlvl_w)
+        return qconv1x1_ndhwc(x, kernel, p.get("bias"), p["alpha_act"],
+                              qcfg.qlvl_act, interpret=interpret)
     if a.get("int8") and mode in ("quantized", "fq"):
         # true integer path (ptq/deploy.py): quantize acts to int8 codes,
         # int8 x int8 conv with int32 accumulation, f32 scale epilogue —

@@ -42,7 +42,11 @@ def _qact_matmul_kernel(alpha_ref, x_ref, w_ref, b_ref, o_ref, *, qlvl_act):
     delta = 1.0 / (qlvl_act - 1)
     xq = jnp.clip(x / alpha, 0.0, 1.0)
     xq = jnp.round(xq / delta) * delta * alpha
-    acc = jnp.dot(xq, w_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST: full-f32 multi-pass on the MXU.  One-pass bf16 rounding of
+    # the operands is enough to flip downstream quantizer rounding
+    # decisions, which cascades through the net (measured on hardware).
+    acc = jnp.dot(xq, w_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     o_ref[:] = acc + b_ref[:]
 
 
@@ -169,3 +173,33 @@ def qconv1x1_ndhwc(x, kernel_dhwio, bias, alpha_act, qlvl_act,
     y = fused_qact_matmul(flat, wmat, bias, alpha_act, qlvl_act,
                           interpret=interpret)
     return y.reshape(n, d, h, w, o)
+
+
+def to_pallas_inference(graph):
+    """Graph transform: flag every eligible qconv to dispatch through the
+    fused Pallas kernels in ``nnir._eval_conv`` (quantized/fq modes only).
+
+    Eligible = activation-quantized 1x1x1 convs (stride 1, no padding,
+    groups 1 — the transition, projection and classifier convs) and, after
+    ``ptq.deploy.to_int8_inference``, the interior 3x3x3 int8 convs (which
+    route to the im2col-matmul MXU kernel in qconv3d.py).  Apply the int8
+    transform FIRST so the 3^3 layers carry the ``int8`` attr.  FP mode and
+    training are untouched.
+    """
+    import dataclasses
+
+    from ..nnir import Graph, _pallas_1x1_eligible, _pallas_3x3_int8_eligible
+
+    new_nodes = []
+    for node in graph.nodes:
+        qcfg = node.attrs.get("qcfg")
+        if (node.op == "conv" and qcfg is not None and qcfg.q_act
+                and (_pallas_1x1_eligible(node.attrs)
+                     or (node.attrs.get("int8")
+                         and _pallas_3x3_int8_eligible(node.attrs)))):
+            attrs = dict(node.attrs)
+            attrs["pallas"] = True
+            new_nodes.append(dataclasses.replace(node, attrs=attrs))
+        else:
+            new_nodes.append(node)
+    return Graph(new_nodes, list(graph.outputs), graph.input_name)

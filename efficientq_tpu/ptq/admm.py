@@ -26,8 +26,8 @@ import numpy as np
 
 from ..quant import project_by_iter
 from .solver import (GramStats, compute_gram_stats, flat_to_kernel,
-                     kernel_to_flat, make_system, quadratic_mse,
-                     solve_proximal)
+                     kernel_to_flat, make_ranking_mse, make_system,
+                     quadratic_mse, solve_proximal)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,8 +115,10 @@ def admm_quantize(
         return Gw
 
     if loss_fn is None:
+        ranked = make_ranking_mse(stats)
+
         def loss_fn(Gw, b):
-            return quadratic_mse(stats, ext(Gw, b), weighted=False)
+            return ranked(ext(Gw, b))
 
     hist_chunks = []
     for mult, n_iters, dual_factor in rho_segments(hp):

@@ -31,10 +31,17 @@ def eligible(qcfg) -> bool:
             and qcfg.qlvl_act <= 128 and qcfg.qlvl_w <= 128)
 
 
-def to_int8_inference(graph: Graph, variables) -> Tuple[Graph, Dict]:
+def to_int8_inference(graph: Graph, variables, pallas: bool = True
+                      ) -> Tuple[Graph, Dict]:
     """Returns (graph', variables') with eligible qconvs converted to int8
     codes + scale epilogue.  Input variables must hold post-PTQ quantized
-    kernels (values = alpha_w * grid)."""
+    kernels (values = alpha_w * grid).
+
+    With ``pallas=True`` (default) the result is additionally flagged for
+    the fused Pallas kernels (pallas/qmatmul.py, pallas/qconv3d.py): on a
+    TPU backend the int8 3^3 convs and 1x1x1 matmuls run as single fused
+    act-quant + int8-MXU programs; elsewhere they run in interpret mode
+    only if invoked, so pass pallas=False for CPU-bound deployments."""
     params = {k: dict(v) for k, v in variables["params"].items()}
     new_nodes = []
     for node in graph.nodes:
@@ -57,5 +64,9 @@ def to_int8_inference(graph: Graph, variables) -> Tuple[Graph, Dict]:
             new_nodes.append(dataclasses.replace(node, attrs=attrs))
         else:
             new_nodes.append(dataclasses.replace(node, attrs=dict(node.attrs)))
-    return Graph(new_nodes, list(graph.outputs), graph.input_name), {
-        "params": params, "state": variables.get("state", {})}
+    out_graph = Graph(new_nodes, list(graph.outputs), graph.input_name)
+    if pallas:
+        from ..pallas.qmatmul import to_pallas_inference
+
+        out_graph = to_pallas_inference(out_graph)
+    return out_graph, {"params": params, "state": variables.get("state", {})}

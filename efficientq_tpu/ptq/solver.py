@@ -223,6 +223,42 @@ def quadratic_mse(stats: GramStats, W_ext: jax.Array, weighted: bool) -> jax.Arr
     return val / stats.numel_y
 
 
+def make_ranking_mse(stats: GramStats):
+    """Cancellation-free evaluator of the unweighted quadratic MSE, for
+    best-iterate ranking (src/models/EfficientQConv.py:118-143).
+
+    The naive form tr(WAW^T) - 2tr(WB^T) + yy subtracts numbers of size
+    ~S*E[y^2] to produce a residual ~S*mse; in f32 its absolute error can
+    exceed the loss spacing between near-converged ADMM iterates (measured:
+    tests/test_ptq_solver.py::test_quadratic_selector_ranks_like_direct_f64).
+    Exact-identity rewrite around the (ridged) least-squares solution Wls:
+
+        q(W) = r A r^T + 2 r.(A Wls^T - B^T) + q(Wls),   r = W - Wls
+
+    The first term is a small positive quadratic in the quantization excess,
+    the second is tiny ((A Wls^T - B^T) ~ -lam Wls), and the third is a
+    CONSTANT — its (cancellation-prone) f32 value shifts every candidate
+    equally and cannot affect ranking.  Costs one extra Cholesky per layer.
+    """
+    A = stats.A_unw
+    B = stats.B_unw
+    dim = A.shape[0]
+    eye = jnp.eye(dim, dtype=jnp.float32)
+    lam = 1e-6 * (jnp.trace(A) / dim) + 1e-30
+    chol = jax.scipy.linalg.cho_factor(A + lam * eye)
+    Wls = jax.scipy.linalg.cho_solve(chol, B.T).T
+    g = jnp.matmul(Wls, A, precision=HI) - B
+    c0 = quadratic_mse(stats, Wls, weighted=False)
+
+    def loss(W_ext: jax.Array) -> jax.Array:
+        r = W_ext - Wls
+        rA = jnp.matmul(r, A, precision=HI)
+        val = jnp.sum(rA * r) + 2.0 * jnp.sum(r * g)
+        return val / stats.numel_y + c0
+
+    return loss
+
+
 def make_system(stats: GramStats, rho, eta, mu=0.0):
     """A of the proximal system for a given rho (src/models/solver.py:316-325):
     with bias: A = 2*A_att + (rho+mu)*quasi_eye + eta*I (bias diag gets eta

@@ -106,6 +106,20 @@ def main():
             for c in module.children():
                 register(c, hs)
 
+    # Faithful-GPU-semantics hook (see docs/reference_cross_check.md): the
+    # reference's forward_hook stores ``output.detach().cpu()``
+    # (src/models/hooks.py:5-6).  From CUDA that copies; on torch-CPU
+    # ``.cpu()`` is a NO-OP VIEW and the next block's ReLU(inplace=True)
+    # mutates the cached FP calibration target through the folded-BN
+    # StraightThrough.  Clone so this CPU oracle reproduces what the
+    # reference computes on its real (GPU) substrate.
+    import models.hooks as ref_hooks
+
+    def clone_hook(module, inputs, output):
+        module.output_fp = output.detach().clone()
+
+    ref_hooks.forward_hook = clone_hook
+
     register(ref_model, handles)
     with torch.no_grad():
         out_fp_t = ref_model(torch.from_numpy(x)).detach()

@@ -61,3 +61,90 @@ def test_fused_int8_matmul_matches_deploy_semantics():
     got = fused_int8_matmul(x, jnp.asarray(codes), b, alpha_a, scale, na,
                             tile_m=64, interpret=True)
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-5)
+
+
+def _tiny_q_model():
+    """A tiny quantized graph with 1x1x1 qconvs, post-PTQ-style params."""
+    import jax
+
+    from efficientq_tpu import nnir
+    from efficientq_tpu.models import UResQConfig, build_uresq
+    from efficientq_tpu.ptq import fold_bn
+    from efficientq_tpu.quant import fake_quant_weight
+
+    cfg = UResQConfig(num_mod=2, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[4, 8, 4], dilation_config=[1, 1, 1],
+                      init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid",
+                      ds="simple", ds_depth_limit=3, fuse_bn=True,
+                      quantize=True, qlvl_w=4, qlvl_act=4,
+                      q_first=(256, -1), q_last=(256, -1))
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    fg, fv = fold_bn(graph, variables)
+    for node in fg.qconv_nodes():
+        q = node.attrs["qcfg"]
+        p = fv["params"][node.name]
+        if q.q_weight:
+            a = jnp.maximum(jnp.max(jnp.abs(p["kernel"])), 1e-8)
+            p["kernel"] = fake_quant_weight(p["kernel"], a, q.qlvl_w)
+            p["alpha_w"] = a
+        if q.q_act:
+            p["alpha_act"] = jnp.float32(0.8)
+    return fg, fv
+
+
+def test_to_pallas_inference_product_path_parity():
+    """The in-product dispatch (nnir._eval_conv via to_pallas_inference)
+    matches the plain XLA quantized forward — fake-quant and int8 variants."""
+    from efficientq_tpu import nnir
+    from efficientq_tpu.pallas.qmatmul import to_pallas_inference
+    from efficientq_tpu.ptq.deploy import to_int8_inference
+
+    fg, fv = _tiny_q_model()
+    pg = to_pallas_inference(fg)
+    flagged = [n.name for n in pg.nodes if n.attrs.get("pallas")]
+    # the transition/projection 1x1x1 convs must be flagged
+    assert any("TransDown" in n for n in flagged), flagged
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 2).astype(np.float32))
+    ref = nnir.apply(fg, fv, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    got = nnir.apply(pg, fv, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
+                               rtol=2e-4)
+
+    # int8 deployment composed with pallas dispatch
+    ig, iv = to_int8_inference(fg, fv)
+    pig = to_pallas_inference(ig)
+    assert any(n.attrs.get("pallas") and n.attrs.get("int8")
+               for n in pig.nodes)
+    ref8 = nnir.apply(ig, iv, x, mode="quantized",
+                      precision=jax.lax.Precision.HIGHEST)
+    got8 = nnir.apply(pig, iv, x, mode="quantized",
+                      precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(ref8), atol=2e-4,
+                               rtol=2e-4)
+
+
+def test_qconv3x3_int8_matches_xla_int_conv():
+    """Pallas 3^3 im2col-matmul kernel == XLA integer conv, incl. dilation."""
+    from efficientq_tpu.pallas.qconv3d import qconv3x3_int8_ndhwc
+
+    rng = np.random.RandomState(0)
+    for dil in (1, 2):
+        n, d, h, w, c, o = 2, 5, 6, 7, 5, 9
+        x = jnp.asarray(np.abs(rng.randn(n, d, h, w, c)).astype(np.float32))
+        codes = jnp.asarray(
+            rng.randint(-3, 4, size=(3, 3, 3, c, o)).astype(np.int8))
+        b = jnp.asarray(rng.randn(o).astype(np.float32))
+        na, alpha, scale = 4, 0.9, 0.37
+        qa = jnp.round(jnp.clip(x / alpha, 0, 1) * (na - 1)).astype(jnp.int8)
+        ref = ops.conv3d(qa, codes, None, (1, 1, 1), (dil,) * 3, (dil,) * 3,
+                         1, preferred_element_type=jnp.int32)
+        ref = ref.astype(jnp.float32) * scale + b
+        got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na, dilation=dil,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)

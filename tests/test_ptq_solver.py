@@ -163,3 +163,85 @@ def test_gram_scan_path_matches_unrolled():
     c = compute_gram_stats(x, y, att, **kw)
     np.testing.assert_allclose(np.asarray(a.A_att), np.asarray(c.A_att),
                                atol=1e-3, rtol=1e-5)
+
+
+def test_loss_fn_selection_rule_at_lits_scale():
+    """At the LiTS 512-ch stage (c1k = 512*27+1 = 13825+1, spatial 8x8x4 ->
+    S = 256) calibrate_layer must use the DIRECT convolution loss: 2S < c1k,
+    so the Gram quadratic form — whose f32 cancellation hazard is worst
+    exactly where A entries are largest — is never consulted there
+    (guards src/models/EfficientQConv.py:118-143 best-iterate selection)."""
+    S = 1 * 8 * 8 * 4
+    c1k = 512 * 27
+    assert 2 * S < c1k  # -> direct conv loss branch in calibrate_layer
+    # and at the early-layer geometry (large spatial, narrow channels) the
+    # quadratic branch is the one taken
+    assert 2 * (24 ** 3) >= 32 * 27 + 1
+
+
+def test_quadratic_selector_ranks_like_direct_f64():
+    """Where the quadratic form IS used (big-spatial layers), it must rank
+    ADMM iterates identically to a float64 direct-convolution oracle.
+
+    Candidates are genuine ADMM outputs under different hyperparameters —
+    closely spaced losses, the adversarial case for f32 cancellation in
+    tr(WAW^T) - 2tr(WB^T) + yy."""
+    from efficientq_tpu.ptq.admm import PTQHyperParams, admm_quantize
+
+    rng = np.random.RandomState(7)
+    c1, c2, sp = 16, 16, 20  # S = 8000, c1k = 433 -> quadratic branch
+    x = jnp.asarray(np.abs(rng.randn(1, sp, sp, sp, c1)).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, c1, c2).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(c2).astype(np.float32) * 0.01)
+    y = ops.conv3d(x, w, b, 1, 1, precision=jax.lax.Precision.HIGHEST)
+    S = int(np.prod(y.shape[:-1]))
+    c1k = c1 * 27
+    assert 2 * S >= c1k + 1
+
+    stats = compute_gram_stats(x, y, None, (3, 3, 3), (1, 1, 1), (1, 1, 1),
+                               has_bias=True)
+    w_flat = kernel_to_flat(w)
+
+    cands = []
+    for rho, eta in ((5.0, 1.0), (10.0, 1.0), (20.0, 1.0), (10.0, 0.5),
+                     (10.0, 2.0), (40.0, 1.0)):
+        hp = PTQHyperParams(admm_iter=25, rho=rho, eta=eta,
+                            rho_update_interval=10)
+        G, B, _, _, _ = admm_quantize(w_flat, b, stats, 4, jnp.float32(1.0),
+                                      hp)
+        cands.append(jnp.concatenate([G, B[:, None]], axis=1))
+
+    # f64 oracle: explicit im2col + matmul on the host
+    xp = np.pad(np.asarray(x, np.float64),
+                ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    cols = []
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                cols.append(xp[:, kd:kd + sp, kh:kh + sp, kw:kw + sp, :])
+    X = np.stack(cols)  # (27, 1, sp, sp, sp, c1)
+    X = np.moveaxis(X, -1, 0).reshape(c1 * 27, -1)  # channel-major rows
+    X = np.concatenate([X, np.ones((1, X.shape[1]))], axis=0)
+    Y = np.moveaxis(np.asarray(y, np.float64), -1, 1).reshape(c2, -1)
+
+    from efficientq_tpu.ptq.solver import make_ranking_mse
+
+    ranked = make_ranking_mse(stats)
+    quad = np.array([float(ranked(W)) for W in cands])
+    naive = np.array([float(quadratic_mse(stats, W, weighted=False))
+                      for W in cands])
+    direct = np.array([float(np.mean((np.asarray(W, np.float64) @ X - Y)
+                                     ** 2)) for W in cands])
+
+    # the product selector (make_ranking_mse) must resolve loss DIFFERENCES
+    # far below the iterate-to-iterate spacing and rank identically to the
+    # f64 oracle; constant offsets are irrelevant to ranking
+    gaps = np.diff(np.sort(direct))
+    min_gap = gaps[gaps > 0].min()
+    err = np.max(np.abs((quad - quad.mean()) - (direct - direct.mean())))
+    assert err < 0.25 * min_gap, (err, min_gap, quad, direct)
+    assert np.argsort(quad).tolist() == np.argsort(direct).tolist()
+    # and it must genuinely improve on the naive form's difference error
+    naive_err = np.max(np.abs((naive - naive.mean())
+                              - (direct - direct.mean())))
+    assert err < naive_err, (err, naive_err)
