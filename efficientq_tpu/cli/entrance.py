@@ -106,18 +106,29 @@ def build_parser() -> argparse.ArgumentParser:
 
     # evaluation config
     parser.add_argument("--save_nii", action="store_true")
+    # TPU-native extension (not in the reference flag surface): checkpoint
+    # backend — 'pickle' is the reference-parity default, 'orbax' writes
+    # directory-based multi-host-safe checkpoints (utils/checkpoint.py)
+    parser.add_argument("--ckpt_backend", default="pickle",
+                        choices=("pickle", "orbax"))
     return parser
 
 
 def enable_compilation_cache():
     """Persistent XLA compile cache — PTQ compiles one program per distinct
-    layer geometry; caching makes repeat runs start hot."""
+    layer geometry; caching makes repeat runs start hot.
+
+    Uses jax.config.update, NOT the JAX_* env vars: ambient site hooks can
+    import jax before this runs, at which point env vars are already read
+    and silently ignored (observed on the dev host — the round-1 'cache
+    cannot capture remote-compiled executables' was exactly this)."""
     import os
 
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/effq_tpu_xla"))
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/effq_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main(argv=None):

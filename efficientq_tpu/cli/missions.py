@@ -80,7 +80,8 @@ def train_fp(args):
         snapshot_root=snap_root, weight_decay=float(args.weight_decay),
         warmup_epochs=warmup_epochs, test_interval=test_interval,
         display_interval=args.disp_interval,
-        multilabel_fusetype=args.merge_type, tb_writer=tb_writer)
+        multilabel_fusetype=args.merge_type, tb_writer=tb_writer,
+        ckpt_backend=getattr(args, "ckpt_backend", "pickle"))
     if args.resume:
         trainer.resume(args.resume)
     elif args.pretrain:
@@ -88,14 +89,19 @@ def train_fp(args):
     trainer.train()
     print("Training complete.")
 
+    ext = ".orbax" if trainer.ckpt_backend == "orbax" else ".pkl"
+
+    def _exists(p):
+        return P.isdir(p) if ext == ".orbax" else P.isfile(p)
+
     if not args.no_test:
-        best = P.join(snap_root, "state_seg_max.pkl")
-        if P.isfile(best):
+        best = P.join(snap_root, "state_seg_max" + ext)
+        if _exists(best):
             trainer.load_pretrain(best)
             _final_test(graph, trainer.variables, hub, n_mo, nClass,
                         P.join(snap_root, "seg_max"), args)
-        last = P.join(snap_root, "state_%04d.pkl" % args.max_epoch)
-        if P.isfile(last):
+        last = P.join(snap_root, "state_%04d%s" % (args.max_epoch, ext))
+        if _exists(last):
             trainer.load_pretrain(last)
             _final_test(graph, trainer.variables, hub, n_mo, nClass,
                         P.join(snap_root, "seg_%04d" % args.max_epoch), args)

@@ -37,7 +37,7 @@ class Trainer:
                  warmup_epochs: int = 1, test_interval: int = 50,
                  display_interval: int = 10, multilabel_fusetype=None,
                  seed: int = 0, mesh=None, check_nan: bool = True,
-                 tb_writer=None):
+                 tb_writer=None, ckpt_backend: str = "pickle"):
         self.graph = graph
         self.variables = variables
         self.data = data_cube
@@ -49,6 +49,8 @@ class Trainer:
         self.display_interval = display_interval
         self.multilabel_fusetype = multilabel_fusetype
         self.check_nan = check_nan
+        assert ckpt_backend in ("pickle", "orbax")
+        self.ckpt_backend = ckpt_backend
         os.makedirs(snapshot_root, exist_ok=True)
 
         iters_per_epoch = max(len(data_cube.trainloader), 1)
@@ -212,11 +214,16 @@ class Trainer:
         self.snapshot(self.max_epoch)
         self.final_snap("FP")
         # transient snapshot cleanup (trainer.py:152-155)
-        for name in ("state_0001.pkl", "state_current.pkl",
-                     "state_latest.pkl", "state_KeyboardInterrupt.pkl"):
-            path = P.join(self.root, name)
+        for stem in ("state_0001", "state_current", "state_latest",
+                     "state_KeyboardInterrupt"):
+            path = P.join(self.root, stem + ".pkl")
             if P.isfile(path):
                 os.remove(path)
+            opath = P.join(self.root, stem + ".orbax")
+            if P.isdir(opath):
+                import shutil
+
+                shutil.rmtree(opath)
 
     # ------------------------------------------------------------------
     # checkpointing (trainer.py:427-481)
@@ -229,15 +236,36 @@ class Trainer:
             "step_idx": self.step_idx,
             "max_metric": self.max_seg_metric_val,
         }
-        fname = (P.join(self.root, "state_%04d.pkl" % epoch) if name is None
-                 else P.join(self.root, "state_%s.pkl" % name))
+        stem = ("state_%04d" % epoch) if name is None else ("state_%s" % name)
+        if self.ckpt_backend == "orbax":
+            # directory-based, atomic, multi-host-safe (utils/checkpoint.py)
+            from ..utils.checkpoint import ORBAX_SUFFIX, save_checkpoint
+
+            return save_checkpoint(P.join(self.root, stem + ORBAX_SUFFIX),
+                                   payload)
+        fname = P.join(self.root, stem + ".pkl")
         with open(fname, "wb") as f:
             pickle.dump(payload, f)
         return fname
 
     def resume(self, path: str):
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
+        from ..utils.checkpoint import is_orbax_checkpoint
+
+        if is_orbax_checkpoint(path):
+            from ..utils.checkpoint import restore_checkpoint
+
+            template = {
+                "epoch": 0,
+                "state_dict": torch_io.to_torch_state_dict(self.graph,
+                                                           self.variables),
+                "opt_state": jax.tree.map(np.asarray, self.opt_state),
+                "step_idx": 0,
+                "max_metric": 0.0,
+            }
+            payload = restore_checkpoint(path, template)
+        else:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
         self.variables = torch_io.load_torch_state_dict(
             self.graph, self.variables, payload["state_dict"])
         if "opt_state" in payload:
@@ -249,6 +277,23 @@ class Trainer:
         self.start_epoch = payload["epoch"] + 1
 
     def load_pretrain(self, path: str):
+        from ..utils.checkpoint import is_orbax_checkpoint
+
+        if is_orbax_checkpoint(path):
+            from ..utils.checkpoint import restore_checkpoint
+
+            template = {
+                "epoch": 0,
+                "state_dict": torch_io.to_torch_state_dict(self.graph,
+                                                           self.variables),
+                "opt_state": jax.tree.map(np.asarray, self.opt_state),
+                "step_idx": 0,
+                "max_metric": 0.0,
+            }
+            payload = restore_checkpoint(path, template)
+            self.variables = torch_io.load_torch_state_dict(
+                self.graph, self.variables, payload["state_dict"])
+            return
         if path.endswith(".pkl") and _is_torch_pickle(path):
             self.variables = torch_io.load_torch_checkpoint(
                 self.graph, self.variables, path)

@@ -36,12 +36,12 @@ import jax.numpy as jnp
 WIDTHS = [8, 16, 32, 16, 8]
 
 
-def model_cfg(qlvl=None):
+def model_cfg(qlvl=None, init_stride=(2, 2, 2)):
     q = qlvl is not None
     return UResQConfig(
         num_mod=1, num_classes=3, depth_config=[1] * len(WIDTHS),
         width_config=WIDTHS, dilation_config=[1] * len(WIDTHS),
-        init_stride=(2, 2, 2), drop_rate=0.2, blk_type="mid", ds="simple",
+        init_stride=init_stride, drop_rate=0.2, blk_type="mid", ds="simple",
         ds_depth_limit=3, drop_cut_thres=128,
         quantize=q, qlvl_w=qlvl or 4, qlvl_act=qlvl or 4,
         q_first=(256, -1), q_last=(256, -1))
@@ -63,15 +63,23 @@ def main():
                     help="post-PTQ end-to-end alpha_act Adam iterations")
     ap.add_argument("--width", type=str, default=None,
                     help="comma-separated stage widths override")
+    ap.add_argument("--vol", type=int, default=32, help="synthetic volume side")
+    ap.add_argument("--patch", type=str, default="16,16,16")
+    ap.add_argument("--init_stride", type=str, default="2,2,2")
+    ap.add_argument("--settings", type=str, default="256,16,4",
+                    help="comma-separated qlvl list (256=W8A8,16=W4A4,4=W2A2)")
+    ap.add_argument("--out", type=str, default="quality_gate_results.json")
     args = ap.parse_args()
     if args.width:
         global WIDTHS
         WIDTHS[:] = [int(w) for w in args.width.split(",")]
+    patch = tuple(int(x) for x in args.patch.split(","))
+    init_stride = tuple(int(x) for x in args.init_stride.split(","))
 
     root = tempfile.mkdtemp(prefix="effq_quality_")
     data_dir, split_dir = make_synthetic_dataset(
-        root, task="lits", n_subjects=args.subjects, vol_shape=(32, 32, 32),
-        seed=0)
+        root, task="lits", n_subjects=args.subjects,
+        vol_shape=(args.vol,) * 3, seed=0)
     hub = DataHub(
         data_dir, task_modalities("lits"),
         train_split=f"{split_dir}/round1/train.txt",
@@ -79,10 +87,10 @@ def main():
         train_batchsize=4, test_batchsize=1, access_type="npy",
         crop_type="balance", balance_rate=0.8,
         balance_mask_func=lambda label: label == 2,
-        crop_size_img=(16, 16, 16),
-        slide_patch_size=(16, 16, 16), slide_overlap=(4, 4, 4))
+        crop_size_img=patch,
+        slide_patch_size=patch, slide_overlap=(4, 4, 4))
 
-    cfg = model_cfg()
+    cfg = model_cfg(init_stride=init_stride)
     graph = build_uresq(cfg)
     variables = nnir.init(graph, jax.random.PRNGKey(0))
     n_mo = len(graph.outputs)
@@ -107,8 +115,10 @@ def main():
 
     results = {"fp_dice": fp_dice, "train_seconds": train_sec,
                "epochs": args.epochs, "settings": {}}
-    for qlvl, tag in ((256, "W8A8"), (16, "W4A4"), (4, "W2A2")):
-        qcfg = model_cfg(qlvl)
+    tags = {256: "W8A8", 16: "W4A4", 4: "W2A2"}
+    for qlvl in (int(x) for x in args.settings.split(",")):
+        tag = tags.get(qlvl, f"q{qlvl}")
+        qcfg = model_cfg(qlvl, init_stride=init_stride)
         qgraph = build_uresq(qcfg)
         qvars = nnir.init(qgraph, jax.random.PRNGKey(0))
         # copy trained weights (same structure)
@@ -118,7 +128,7 @@ def main():
         qvars = torch_io.load_torch_state_dict(qgraph, qvars, sd)
         t0 = time.time()
         fg, fv, report = run_ptq(
-            qgraph, qvars, calib_x, task="lits", init_stride=(2, 2, 2),
+            qgraph, qvars, calib_x, task="lits", init_stride=init_stride,
             hp=PTQHyperParams(admm_iter=args.admm_iter))
         calib_sec = time.time() - t0
         q_dice = mean_fg_dice(fg, fv, hub, n_mo, "quantized")
@@ -141,8 +151,7 @@ def main():
                   f"recon {losses[0]:.5f}->{losses[-1]:.5f}")
             results["settings"][tag]["tuned_dice"] = t_dice
 
-    out = P.join(P.dirname(P.abspath(__file__)), "..",
-                 "quality_gate_results.json")
+    out = P.join(P.dirname(P.abspath(__file__)), "..", args.out)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results["settings"], indent=2))

@@ -140,3 +140,28 @@ def test_nla_and_norm_flags():
     with pytest.raises(NotImplementedError, match="Norm type"):
         get_model_config(parser.parse_args(
             base + ["--norm", "gn", "--group_num", "8"]))
+
+
+def test_orbax_ckpt_backend_resume(workdir, monkeypatch):
+    """--ckpt_backend orbax: directory checkpoints, resume continues the
+    run in the original experiment dir with optimizer state restored."""
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+    common = [
+        "--task", "lits", "--data_dir", data_dir, "--split_dir", split_dir,
+        "--round", "1", "--patch_size", "8,8,8", "--batch_size", "2",
+        "--crop_type", "random", "--loss", "ce", "--lr", "0.01",
+        "--disp_interval", "1", "--no_test", "--ckpt_backend", "orbax",
+        *TINY,
+    ]
+    snap = main(["train_fp", "--max_epoch", "2", "--test_interval", "99",
+                 *common])
+    ckpt = P.join(snap, "state_0002.orbax")
+    assert P.isdir(ckpt)
+    snap2 = main(["train_fp", "--max_epoch", "3", "--test_interval", "99",
+                  "--resume", ckpt, *common])
+    assert P.realpath(snap2) == P.realpath(snap)
+    assert P.isdir(P.join(snap, "state_0003.orbax"))
+    with open(P.join(snap, "loss.txt")) as f:
+        epochs = [int(l.split(",")[0]) for l in f.read().splitlines() if l]
+    assert 3 in epochs and min(epochs) == 1
