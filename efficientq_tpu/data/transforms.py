@@ -314,3 +314,188 @@ class RandomBlack:
         img = img.copy()
         img[..., x1:x1 + td, y1:y1 + th, z1:z1 + tw] = 0
         return img, label
+
+
+# ---------------------------------------------------------------------------
+# 2D variants (src/utils/transforms.py:245-778,856-910).  Unused by the BraTS
+# / LiTS presets (both are 3-D tasks) but part of the reference's transform
+# surface.  Images are (C, H, W); labels (H, W) or (C', H, W).
+# ---------------------------------------------------------------------------
+
+
+def _pair(v):
+    if isinstance(v, numbers.Number):
+        return (int(v),) * 2
+    return tuple(int(x) for x in v)
+
+
+def crop2d(arr: np.ndarray, loc) -> np.ndarray:
+    x1, y1, x2, y2 = loc
+    s = arr.shape
+    x1, x2 = crop_size_correct(x1, x2, s[-2])
+    y1, y2 = crop_size_correct(y1, y2, s[-1])
+    return arr[..., x1:x2, y1:y2]
+
+
+def center_crop2d(arr: np.ndarray, size) -> np.ndarray:
+    th, tw = _pair(size)
+    h, w = arr.shape[-2:]
+    if (h, w) == (th, tw):
+        return arr
+    pads = []
+    for cur, tgt in zip((h, w), (th, tw)):
+        lo = max(0, (tgt - cur) // 2)
+        pads.append((lo, max(0, tgt - cur) - lo))
+    if any(p != (0, 0) for p in pads):
+        arr = np.pad(arr, [(0, 0)] * (arr.ndim - 2) + pads)
+        h, w = arr.shape[-2:]
+    x1, y1 = (h - th) // 2, (w - tw) // 2
+    return crop2d(arr, (x1, y1, x1 + th, y1 + tw))
+
+
+class Pad2d:
+    """Symmetric zero pad of the two trailing axes (transforms.py:245-282)."""
+
+    def __init__(self, pad):
+        self.pad = _pair(pad)
+
+    def __call__(self, img, label):
+        ph, pw = self.pad
+        pads = [(ph, ph), (pw, pw)]
+        img = np.pad(img, [(0, 0)] * (img.ndim - 2) + pads)
+        label = np.pad(label, [(0, 0)] * (label.ndim - 2) + pads)
+        return img, label
+
+
+class CenterCrop2d:
+    def __init__(self, size):
+        self.size = _pair(size)
+
+    def __call__(self, img, label):
+        return center_crop2d(img, self.size), center_crop2d(label, self.size)
+
+
+class RandomCrop2d:
+    """Uniform random window, same window on image and label
+    (transforms.py:396-470)."""
+
+    def __init__(self, size, rng: Optional[np.random.Generator] = None):
+        self.size = _pair(size)
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img, label):
+        th, tw = self.size
+        h, w = img.shape[-2:]
+        x1 = int(self.rng.integers(0, max(h - th, 0) + 1))
+        y1 = int(self.rng.integers(0, max(w - tw, 0) + 1))
+        loc = (x1, y1, x1 + th, y1 + tw)
+        return crop2d(img, loc), crop2d(label, loc)
+
+
+class RandomFlip2d:
+    """Independent per-axis flips (transforms.py:521-536)."""
+
+    def __init__(self, flips=(1, 1), rng: Optional[np.random.Generator] = None):
+        self.flips = _pair(flips)
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img, label):
+        for ax_off, enabled in enumerate(self.flips):
+            if enabled and self.rng.random() < 0.5:
+                ax = -2 + ax_off
+                img = np.flip(img, axis=ax)
+                label = np.flip(label, axis=ax)
+        return np.ascontiguousarray(img), np.ascontiguousarray(label)
+
+
+class RandomRotate2d:
+    """Random multiple-of-90-degree rotation of the trailing 2 axes, same k
+    for image and label (transforms.py:678-686 rot90_tensor)."""
+
+    def __init__(self, rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img, label):
+        k = int(self.rng.integers(0, 4))
+        if k == 0:
+            return img, label
+        return (np.ascontiguousarray(np.rot90(img, k, (-2, -1))),
+                np.ascontiguousarray(np.rot90(label, k, (-2, -1))))
+
+
+class RandomBlack2d:
+    """Zero a random sub-rectangle of every channel (transforms.py:733-778)."""
+
+    def __init__(self, max_frac=0.5, rng: Optional[np.random.Generator] = None):
+        self.max_frac = float(max_frac)
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img, label):
+        h, w = img.shape[-2:]
+        bh = int(self.rng.integers(0, int(h * self.max_frac) + 1))
+        bw = int(self.rng.integers(0, int(w * self.max_frac) + 1))
+        if bh and bw:
+            x1 = int(self.rng.integers(0, h - bh + 1))
+            y1 = int(self.rng.integers(0, w - bw + 1))
+            img = img.copy()
+            img[..., x1:x1 + bh, y1:y1 + bw] = 0.0
+        return img, label
+
+
+class RandomScaleCrop2d:
+    """Random zoom then center crop back to the original size
+    (transforms.py:627-677)."""
+
+    def __init__(self, scale_bound=(0.8, 1.25), order=1,
+                 rng: Optional[np.random.Generator] = None):
+        self.lo, self.hi = scale_bound
+        self.order = order
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img, label):
+        s = float(self.rng.uniform(self.lo, self.hi))
+        if abs(s - 1.0) < 1e-3:
+            return img, label
+        size = img.shape[-2:]
+        zoom_img = [1.0] * (img.ndim - 2) + [s, s]
+        img = ndimage.zoom(img, zoom_img, order=self.order)
+        zoom_lab = [1.0] * (label.ndim - 2) + [s, s]
+        label = ndimage.zoom(label, zoom_lab, order=0)
+        return center_crop2d(img, size), center_crop2d(label, size)
+
+
+def grid_starts2d(size: int, patch: int, overlap: int) -> List[int]:
+    return list(range(0, size - patch, patch - overlap)) + [size - patch]
+
+
+def image_to_patch2d(images: np.ndarray, patch_sz, overlap) -> List[np.ndarray]:
+    """Overlapped 2D patch grid of a (..., H, W) array
+    (transforms.py:856-877)."""
+    if patch_sz is None or overlap is None:
+        return images
+    ph, pw = _pair(patch_sz)
+    oh, ow = _pair(overlap)
+    h, w = images.shape[-2:]
+    return [images[..., j:j + ph, k:k + pw]
+            for j in grid_starts2d(h, ph, oh)
+            for k in grid_starts2d(w, pw, ow)]
+
+
+def patch_to_image2d(images: np.ndarray, patch_list, patch_sz, overlap):
+    """Sum-and-average stitch of an overlapped 2D patch grid
+    (transforms.py:879-910)."""
+    if patch_sz is None or overlap is None:
+        return images
+    ph, pw = _pair(patch_sz)
+    oh, ow = _pair(overlap)
+    h, w = images.shape[-2:]
+    shape = tuple(patch_list[0].shape[:-2]) + (h, w)
+    recon = np.zeros(shape, np.float32)
+    counter = np.zeros(shape, np.float32)
+    idx = 0
+    for j in grid_starts2d(h, ph, oh):
+        for k in grid_starts2d(w, pw, ow):
+            recon[..., j:j + ph, k:k + pw] += patch_list[idx]
+            counter[..., j:j + ph, k:k + pw] += 1
+            idx += 1
+    return recon / counter
