@@ -130,6 +130,7 @@ def run_ptq(
             p = params[node.name]
             x_in = ins[0]
             y_fp = captured[node.name]
+            t_layer = time.time()
             if verbose:
                 print(f"Calibrating {node.name}")
             if qcfg.q_weight:
@@ -178,6 +179,9 @@ def run_ptq(
                               f", rho = {hist['rho'][i]:.4f}, "
                               f"loss = {hist['loss'][i]:.7f}.")
                 out = res["out_q"]  # fused into the calibration program
+                if verbose:
+                    out = jax.block_until_ready(out)
+                    print(f"  {node.name}: {time.time() - t_layer:.2f}s")
             else:
                 # act-only quantization (q_weight off): no ADMM
                 if qcfg.q_act:

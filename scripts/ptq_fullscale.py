@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--task", default="brats", choices=("brats", "lits"))
     ap.add_argument("--admm_iter", type=int, default=200)
     ap.add_argument("--qlvl", type=int, default=4)
+    ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     from efficientq_tpu.cli.entrance import enable_compilation_cache
@@ -55,7 +56,7 @@ def main():
     fg, fv, report = run_ptq(
         graph, variables, calib, task=args.task,
         init_stride=cfg.init_stride,
-        hp=PTQHyperParams(admm_iter=args.admm_iter))
+        hp=PTQHyperParams(admm_iter=args.admm_iter), verbose=args.verbose)
     total = time.time() - t0
     losses = [l for _, l in report.layer_losses]
     assert all(np.isfinite(losses)), "non-finite layer losses"
