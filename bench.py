@@ -112,7 +112,17 @@ def main():
     int8_sync_vps = time_sync(infer_int8, ivars)
     int8_async_vps = time_async(infer_int8, ivars)
 
-    tpu_volumes_per_sec = max(sync_vps, int8_sync_vps)
+    # mixed serving: int8 Pallas MXU for the FLOP-heavy 3^3 convs, bf16 XLA
+    # matmuls for the skinny 1x1 transitions (fastest measured combination)
+    mgraph, mvars = to_int8_inference(fgraph, fvars,
+                                      only_kernel_sizes={(3, 3, 3)})
+    infer_mixed = make_infer(mgraph)
+    segm = np.asarray(infer_mixed(mvars, vj))
+    assert segm.shape == (1, *vol_shape)
+    mixed_sync_vps = time_sync(infer_mixed, mvars)
+    mixed_async_vps = time_async(infer_mixed, mvars)
+
+    tpu_volumes_per_sec = max(sync_vps, int8_sync_vps, mixed_sync_vps)
 
     # torch CPU FP32 baseline: one 128^3 patch through the same graph,
     # extrapolated to the 18-patch volume (a full CPU volume would take
@@ -134,6 +144,8 @@ def main():
             "bf16_async": round(async_vps, 4),
             "int8_pallas_sync": round(int8_sync_vps, 4),
             "int8_pallas_async": round(int8_async_vps, 4),
+            "mixed_int8_3x3_sync": round(mixed_sync_vps, 4),
+            "mixed_int8_3x3_async": round(mixed_async_vps, 4),
         },
     }))
 

@@ -175,16 +175,19 @@ def qconv1x1_ndhwc(x, kernel_dhwio, bias, alpha_act, qlvl_act,
     return y.reshape(n, d, h, w, o)
 
 
-def to_pallas_inference(graph):
+def to_pallas_inference(graph, include_1x1: bool = False):
     """Graph transform: flag every eligible qconv to dispatch through the
     fused Pallas kernels in ``nnir._eval_conv`` (quantized/fq modes only).
 
-    Eligible = activation-quantized 1x1x1 convs (stride 1, no padding,
-    groups 1 — the transition, projection and classifier convs) and, after
-    ``ptq.deploy.to_int8_inference``, the interior 3x3x3 int8 convs (which
-    route to the im2col-matmul MXU kernel in qconv3d.py).  Apply the int8
-    transform FIRST so the 3^3 layers carry the ``int8`` attr.  FP mode and
-    training are untouched.
+    Default eligibility = the interior 3x3x3 int8 convs (after
+    ``ptq.deploy.to_int8_inference`` — apply it FIRST so they carry the
+    ``int8`` attr), which route to the im2col-matmul MXU kernel in
+    qconv3d.py and beat the XLA conv at every preset geometry (measured
+    1.0-1.5x).  ``include_1x1=True`` additionally flags activation-quantized
+    1x1x1 convs (transition/projection/classifier) for the fused matmul
+    kernels; off by default because at the presets' skinny K/N (32-256,
+    padded to the 128-lane MXU) XLA's dot is faster — measured 1.5-5x at
+    the wide-M stages.  FP mode and training are untouched.
     """
     import dataclasses
 
@@ -194,7 +197,7 @@ def to_pallas_inference(graph):
     for node in graph.nodes:
         qcfg = node.attrs.get("qcfg")
         if (node.op == "conv" and qcfg is not None and qcfg.q_act
-                and (_pallas_1x1_eligible(node.attrs)
+                and ((include_1x1 and _pallas_1x1_eligible(node.attrs))
                      or (node.attrs.get("int8")
                          and _pallas_3x3_int8_eligible(node.attrs)))):
             attrs = dict(node.attrs)

@@ -31,8 +31,8 @@ def eligible(qcfg) -> bool:
             and qcfg.qlvl_act <= 128 and qcfg.qlvl_w <= 128)
 
 
-def to_int8_inference(graph: Graph, variables, pallas: bool = True
-                      ) -> Tuple[Graph, Dict]:
+def to_int8_inference(graph: Graph, variables, pallas: bool = True,
+                      only_kernel_sizes=None) -> Tuple[Graph, Dict]:
     """Returns (graph', variables') with eligible qconvs converted to int8
     codes + scale epilogue.  Input variables must hold post-PTQ quantized
     kernels (values = alpha_w * grid).
@@ -41,11 +41,20 @@ def to_int8_inference(graph: Graph, variables, pallas: bool = True
     the fused Pallas kernels (pallas/qmatmul.py, pallas/qconv3d.py): on a
     TPU backend the int8 3^3 convs and 1x1x1 matmuls run as single fused
     act-quant + int8-MXU programs; elsewhere they run in interpret mode
-    only if invoked, so pass pallas=False for CPU-bound deployments."""
+    only if invoked, so pass pallas=False for CPU-bound deployments.
+
+    ``only_kernel_sizes``: optional collection of kernel-size triples —
+    qconvs with other shapes keep the float fake-quant path (e.g.
+    ``{(3, 3, 3)}`` gives the mixed serving graph: int8 MXU for the
+    FLOP-heavy 3^3 convs, bf16 XLA matmuls for the skinny transitions).
+    """
     params = {k: dict(v) for k, v in variables["params"].items()}
     new_nodes = []
     for node in graph.nodes:
-        if node.op == "conv" and eligible(node.attrs.get("qcfg")):
+        if (node.op == "conv" and eligible(node.attrs.get("qcfg"))
+                and (only_kernel_sizes is None
+                     or tuple(node.attrs["kernel_size"])
+                     in only_kernel_sizes)):
             qcfg = node.attrs["qcfg"]
             p = params[node.name]
             alpha_w = jnp.asarray(p["alpha_w"], jnp.float32)

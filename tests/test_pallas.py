@@ -101,9 +101,9 @@ def test_to_pallas_inference_product_path_parity():
     from efficientq_tpu.ptq.deploy import to_int8_inference
 
     fg, fv = _tiny_q_model()
-    pg = to_pallas_inference(fg)
+    pg = to_pallas_inference(fg, include_1x1=True)
     flagged = [n.name for n in pg.nodes if n.attrs.get("pallas")]
-    # the transition/projection 1x1x1 convs must be flagged
+    # with include_1x1, the transition/projection 1x1x1 convs are flagged
     assert any("TransDown" in n for n in flagged), flagged
 
     rng = np.random.RandomState(0)
@@ -115,11 +115,14 @@ def test_to_pallas_inference_product_path_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
                                rtol=2e-4)
 
-    # int8 deployment composed with pallas dispatch
+    # int8 deployment composes the pallas flags by default: the 3x3x3 int8
+    # convs are flagged, the skinny 1x1x1s stay on XLA's int8 dot
     ig, iv = to_int8_inference(fg, fv)
-    pig = to_pallas_inference(ig)
+    pig = to_pallas_inference(ig, include_1x1=True)
     assert any(n.attrs.get("pallas") and n.attrs.get("int8")
-               for n in pig.nodes)
+               and n.attrs["kernel_size"] == (3, 3, 3) for n in ig.nodes)
+    assert not any(n.attrs.get("pallas")
+                   and n.attrs["kernel_size"] == (1, 1, 1) for n in ig.nodes)
     ref8 = nnir.apply(ig, iv, x, mode="quantized",
                       precision=jax.lax.Precision.HIGHEST)
     got8 = nnir.apply(pig, iv, x, mode="quantized",
