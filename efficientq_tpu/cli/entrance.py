@@ -111,6 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
     # directory-based multi-host-safe checkpoints (utils/checkpoint.py)
     parser.add_argument("--ckpt_backend", default="pickle",
                         choices=("pickle", "orbax"))
+    # data parallelism over a 1-D device mesh: 0 = off (single device),
+    # -1 = all local devices, N = first N devices. Batch must divide evenly.
+    parser.add_argument("--dp_devices", type=int, default=0)
     return parser
 
 

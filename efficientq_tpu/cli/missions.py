@@ -74,8 +74,22 @@ def train_fp(args):
             "round" + str(args.round), P.basename(snap_root)))
     except Exception:
         pass
+    mesh = None
+    dp = getattr(args, "dp_devices", 0) or 0
+    if dp:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        n = len(devs) if dp < 0 else dp
+        assert n <= len(devs), f"--dp_devices {n} > {len(devs)} devices"
+        assert args.batch_size % n == 0, (
+            f"batch_size {args.batch_size} not divisible by {n} devices")
+        mesh = Mesh(np.array(devs[:n]), ("data",))
+        print(f"Data-parallel over {n} devices: {mesh}")
+
     trainer = Trainer(
-        graph, variables, hub, loss_name=args.loss, num_mo=n_mo,
+        graph, variables, hub, loss_name=args.loss, num_mo=n_mo, mesh=mesh,
         n_class=nClass, base_lr=args.lr, max_epoch=args.max_epoch,
         snapshot_root=snap_root, weight_decay=float(args.weight_decay),
         warmup_epochs=warmup_epochs, test_interval=test_interval,

@@ -165,3 +165,24 @@ def test_orbax_ckpt_backend_resume(workdir, monkeypatch):
     with open(P.join(snap, "loss.txt")) as f:
         epochs = [int(l.split(",")[0]) for l in f.read().splitlines() if l]
     assert 3 in epochs and min(epochs) == 1
+
+
+def test_dp_devices_cli_training(workdir, monkeypatch):
+    """--dp_devices -1 trains data-parallel over the (simulated) 8-device
+    mesh through the real CLI."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+    snap = main([
+        "train_fp", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--patch_size", "8,8,8",
+        "--batch_size", "8", "--crop_type", "random", "--loss", "ce",
+        "--lr", "0.01", "--max_epoch", "1", "--test_interval", "99",
+        "--disp_interval", "1", "--no_test", "--dp_devices", "-1", *TINY,
+    ])
+    assert P.isfile(P.join(snap, "loss.txt"))
+    with open(P.join(snap, "loss.txt")) as f:
+        assert len(f.read().strip()) > 0
