@@ -118,14 +118,54 @@ def run_ptq(
                            num_mask_lvls, task)
 
     # ---- the calibration sweep ----
+    # The nodes BETWEEN calibration targets (relu/pool/add/upsample/BN glue)
+    # are grouped into maximal segments, each compiled as ONE jitted
+    # function: per-op eager dispatch costs a host<->device round-trip per
+    # node, which dominates warm-cache wall-clock on remote-attached TPUs.
     layer_losses: List[Tuple[str, float]] = []
     layer_histories: Dict[str, Dict[str, np.ndarray]] = {}
     values: Dict[str, jnp.ndarray] = {graph.input_name: calib_x}
-    for node in graph.nodes:
+
+    # last position at which each value is consumed (inf for head outputs)
+    last_use: Dict[str, float] = {name: float("inf") for name in graph.outputs}
+    for pos, n in enumerate(graph.nodes):
+        for src in n.inputs:
+            last_use[src] = max(last_use.get(src, -1), pos)
+
+    def run_glue_segment(seg, seg_end_pos):
+        """Execute a run of non-calibrated nodes as one jitted program."""
+        produced = {n.name for n in seg}
+        in_names = sorted({src for n in seg for src in n.inputs
+                           if src not in produced})
+        out_names = [n.name for n in seg
+                     if last_use.get(n.name, -1) > seg_end_pos]
+        seg_params = {n.name: params[n.name] for n in seg if n.name in params}
+        seg_state = {n.name: state[n.name] for n in seg if n.name in state}
+
+        def fn(p, s, ins):
+            vals = dict(zip(in_names, ins))
+            for n in seg:
+                vals[n.name] = nnir.eval_node(
+                    n, p, s, [vals[x] for x in n.inputs], mode="fp",
+                    precision=HI)
+            return tuple(vals[name] for name in out_names)
+
+        outs = jax.jit(fn)(seg_params, seg_state,
+                           tuple(values[x] for x in in_names))
+        values.update(zip(out_names, outs))
+
+    glue: List = []
+    for pos, node in enumerate(graph.nodes):
         if node.op == "input":
             continue
+        if not (node.op == "conv" and node.attrs.get("qcfg") is not None):
+            glue.append((pos, node))
+            continue
+        if glue:
+            run_glue_segment([n for _, n in glue], glue[-1][0])
+            glue = []
         ins = [values[n] for n in node.inputs]
-        if node.op == "conv" and node.attrs.get("qcfg") is not None:
+        if node.op == "conv":  # a calibration target
             qcfg = node.attrs["qcfg"]
             p = params[node.name]
             x_in = ins[0]
@@ -195,10 +235,9 @@ def run_ptq(
                                  node.attrs["stride"], node.attrs["padding"],
                                  node.attrs["dilation"], node.attrs["groups"],
                                  precision=HI)
-        else:
-            out = nnir.eval_node(node, params, state, ins, mode="fp",
-                                 precision=HI)
         values[node.name] = out
+    if glue:
+        run_glue_segment([n for _, n in glue], glue[-1][0])
 
     out_q = jnp.stack([values[n] for n in graph.outputs], axis=0)
     out_q = jax.block_until_ready(out_q)
