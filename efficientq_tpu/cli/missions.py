@@ -205,6 +205,26 @@ def ptq(args):
         **{f"{name}/{k}": v
            for name, hist in report.layer_histories.items()
            for k, v in hist.items()})
+    if args.lwq_verbose:
+        # loss-curve PNG per layer (the reference's plot_save helper,
+        # src/ptqer.py:275-279); best-effort when matplotlib is present
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig = plt.figure(figsize=(8, 5))
+            for name, hist in report.layer_histories.items():
+                plt.plot(hist["loss"], label=name, linewidth=0.8)
+            plt.yscale("log")
+            plt.xlabel("ADMM iteration")
+            plt.ylabel("reconstruction loss")
+            plt.legend(fontsize=4, ncol=2)
+            fig.savefig(P.join(snap_dir, "layer_loss_curve.png"), dpi=120)
+            plt.close(fig)
+        except Exception as e:
+            print(f"loss-curve plot skipped: {e}")
     with open(P.join(snap_dir, "class_voxel_nums.txt"), "w") as f:
         for n in report.class_voxel_nums:
             f.write(f"{n}\n")
