@@ -71,8 +71,11 @@ def main():
                 return nnir.apply(g, v, xb, mode="quantized",
                                   compute_dtype=jnp.bfloat16)
 
+            # full 18-patch grid as ONE batched forward: fewest dispatch
+            # round-trips and best MXU utilization (measured sweep: 3/6/9/18
+            # -> 3.06/3.16/3.34/3.37 vol/s sync)
             logits = sliding_window_inference(model_fn, image, patch, overlap,
-                                              patch_batch=6)
+                                              patch_batch=18)
             # end-to-end serving output: hard segmentation (uint8), so the
             # timed loop can materialize each result on the host cheaply
             return pred_brats_con_merge(logits[-1]).astype(jnp.uint8)
