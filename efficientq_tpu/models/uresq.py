@@ -249,10 +249,16 @@ def _aux_head(g: GraphBuilder, prefix: str, x: str, in_ch: int, stage: int,
         x = g.upsample(f"{prefix}.extra_up", x, scale)
         return x
     # 'complex': chain of upsampler blocks then classifier + init_stride up
-    # (model_blk.py:169-174, factoryQ.py:214-236)
+    # (model_blk.py:169-174, factoryQ.py:214-236).  Reference quirk: the aux
+    # chain's Upper is constructed WITHOUT blk_type (model_blk.py:170-174),
+    # so non-mid networks get LinearUp3dWithType's default 'pre' ordering
+    # in their aux heads (factory_blk.py:122-123).
+    aux_cfg = cfg
+    if cfg.blk_type != "mid":
+        aux_cfg = dataclasses.replace(cfg, blk_type="pre")
     cur = in_ch
     for k, ch in enumerate(channel_config):
-        x = _up(g, f"{prefix}.up{k+1}", x, cur, ch, cfg, cfg.stride, None)
+        x = _up(g, f"{prefix}.up{k+1}", x, cur, ch, aux_cfg, cfg.stride, None)
         cur = ch
     x = g.conv(f"{prefix}.classifier", x, cur, cfg.num_classes, 1, 1, 0, bias=True)
     if cfg.init_stride != (1, 1, 1):

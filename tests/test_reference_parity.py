@@ -228,3 +228,70 @@ def test_fold_bn_matches_reference_fold():
     got = np.moveaxis(np.asarray(got), -1, 2)
     scale = np.abs(ref_out).max()
     np.testing.assert_allclose(got, ref_out, atol=3e-3 * scale, rtol=3e-3)
+
+
+@pytest.mark.parametrize("blk,ds", [("pre", "simple"), ("post", "complex"),
+                                    ("mid", "complex")])
+def test_variant_orderings_match_reference(blk, ds):
+    """pre/post block orderings and complex deep-supervision heads vs the
+    actual reference model (closes the 'built but preset-unexercised' gap)."""
+    import types
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficientq_tpu import nnir, ops
+    from efficientq_tpu.models import UResQConfig, build_uresq, torch_io
+
+    if "pytz" not in sys.modules:
+        fake = types.ModuleType("pytz")
+        fake.timezone = lambda tz: None
+        sys.modules["pytz"] = fake
+    torch.manual_seed(5)
+
+    class A(_Args):
+        pass
+
+    A.blk = blk
+    A.ds = ds
+    sys.path.insert(0, REF)
+    try:
+        from definer import get_model_cube
+
+        cube, _ = get_model_cube(A())
+        ref_model, ref_num_mo = cube["model"], cube["num_mo"]
+    finally:
+        sys.path.remove(REF)
+    ref_model.eval()
+    rng = np.random.RandomState(5)
+    for m in ref_model.modules():
+        if m.__class__.__name__ == "BatchNorm3d":
+            m.running_mean.copy_(torch.from_numpy(
+                rng.randn(*m.running_mean.shape).astype(np.float32) * 0.1))
+            m.running_var.copy_(torch.from_numpy(
+                (np.abs(rng.randn(*m.running_var.shape)) * 0.3 + 0.7)
+                .astype(np.float32)))
+
+    cfg = UResQConfig(
+        num_mod=2, num_classes=3, depth_config=[1, 1, 1],
+        width_config=[4, 8, 4], dilation_config=[1, 1, 1],
+        init_stride=(2, 2, 2), drop_rate=0.0, blk_type=blk, ds=ds,
+        ds_depth_limit=3, drop_cut_thres=128, aniso_pool_depth=99999,
+        aniso_pool_stride=(2, 2, 1), fuse_bn=True)
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables = torch_io.load_torch_state_dict(graph, variables, sd,
+                                               strict=False)
+
+    x = rng.randn(1, 2, 16, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x)).numpy()
+    got = nnir.apply(graph, variables, ops.ncdhw_to_ndhwc(jnp.asarray(x)),
+                     precision=jax.lax.Precision.HIGHEST)
+    got = np.moveaxis(np.asarray(got), -1, 2)
+    assert got.shape == ref_out.shape == (ref_num_mo, 1, 3, 16, 16, 16)
+    scale = np.abs(ref_out).max()
+    np.testing.assert_allclose(got, ref_out, atol=3e-3 * scale, rtol=3e-3)
