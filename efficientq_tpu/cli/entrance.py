@@ -129,9 +129,16 @@ def enable_compilation_cache():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/effq_tpu_xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # honor a user-exported JAX_COMPILATION_CACHE_DIR (it may not have been
+    # picked up if jax was imported first), defaulting to our cache dir
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/effq_tpu_xla")))
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                             0.5)))
 
 
 def main(argv=None):

@@ -65,6 +65,9 @@ def write_split_files(split_dir: str, round_idx: int, splits,
     import os
     import os.path as P
 
+    assert len(names) == len(splits), (
+        f"{len(splits)} splits but {len(names)} names — pass names= "
+        f"matching the split count")
     d = P.join(split_dir, f"round{round_idx}")
     os.makedirs(d, exist_ok=True)
     for name, split in zip(names, splits):

@@ -3,14 +3,20 @@
 The reference accumulates the per-layer least-squares Grams sample-by-sample
 on one GPU (src/models/solver.py:282-314).  The single-chip TPU rewrite
 already chunks the output-depth axis on device (ptq/solver.py); here the
-same decomposition is spread across a ``jax.sharding.Mesh``: each device
-im2cols its own depth slab (with kernel halo) and accumulates a local
-A/B Gram, then ONE ``psum`` over the mesh axis merges the accumulators —
-the collective moves O(c1k^2) bytes once, never the activation columns.
+same decomposition is spread across a ``jax.sharding.Mesh``:
+
+- the activation/target are sharded along the output-depth axis BEFORE any
+  device computation (host->device transfers move only each device's slab,
+  never the whole volume to one chip);
+- each device needs ``(kD-1)*dilation+1-stride`` halo rows from its
+  neighbor, fetched with one ``ppermute`` over the ICI;
+- each device im2cols its slab and accumulates a local A/B Gram, then ONE
+  ``psum`` merges the accumulators — the collective moves O(c1k^2) bytes,
+  never the activation columns.
 
 This makes calibration of very large volumes (LiTS whole-liver crops,
-c1k ~= 13.8k) scale to a pod slice: activations stay sharded, only the
-sufficient statistics ride the ICI.
+c1k ~= 13.8k) scale to a pod slice: no device ever materializes more than
+its own slab plus the halo.
 """
 from __future__ import annotations
 
@@ -50,51 +56,70 @@ def sharded_gram_stats(
     pD, pH, pW = padding
     n_dev = int(np.prod([mesh.shape[a] for a in ([axis_name]
                          if isinstance(axis_name, str) else axis_name)]))
-    N = x.shape[0]
-    Do, Ho, Wo = y.shape[1:4]
-    c2 = y.shape[-1]
+    Do = y.shape[1]
 
-    # per-device output-depth chunk (last device's tail is masked off via
-    # compute_gram_stats(valid_depth=...))
+    # per-device output-depth chunk (ragged tail masked off inside
+    # compute_gram_stats via valid_depth)
     k = -(-Do // n_dev)
-    in_d = (k - 1) * sD + (kD - 1) * lD + 1
+    in_d = (k - 1) * sD + (kD - 1) * lD + 1   # input rows per device's chunk
+    own = k * sD                              # rows owned by each device
+    halo = max(0, in_d - own)                 # rows borrowed from neighbor
 
-    xp = jnp.pad(x, ((0, 0), (pD, pD), (pH, pH), (pW, pW), (0, 0)))
-    need = (n_dev * k - 1) * sD + (kD - 1) * lD + 1
+    # host-side (NumPy) padding so device_put moves each shard directly to
+    # its device — the full padded volume never lands on a single chip
+    xp = np.pad(np.asarray(x), ((0, 0), (pD, pD), (pH, pH), (pW, pW),
+                                (0, 0)))
+    need = n_dev * own + halo
     if need > xp.shape[1]:
-        xp = jnp.pad(xp, ((0, 0), (0, need - xp.shape[1]),
-                          (0, 0), (0, 0), (0, 0)))
-    # stack per-device slabs along a leading mesh axis
-    x_slabs = jnp.stack([
-        jax.lax.slice_in_dim(xp, i * k * sD, i * k * sD + in_d, axis=1)
-        for i in range(n_dev)])                       # (n_dev, N, in_d, ...)
-    y_pad = jnp.pad(y, ((0, 0), (0, n_dev * k - Do), (0, 0), (0, 0), (0, 0)))
-    y_slabs = jnp.stack([y_pad[:, i * k:(i + 1) * k] for i in range(n_dev)])
-    if att is not None:
-        a_pad = jnp.pad(att, ((0, 0), (0, n_dev * k - Do), (0, 0), (0, 0)))
-        a_slabs = jnp.stack([a_pad[:, i * k:(i + 1) * k]
-                             for i in range(n_dev)])
-    else:
-        a_slabs = None
-    n_valid = jnp.clip(Do - k * jnp.arange(n_dev), 0, k).astype(jnp.int32)
+        xp = np.pad(xp, ((0, 0), (0, need - xp.shape[1]),
+                         (0, 0), (0, 0), (0, 0)))
+    # rows past the last even shard boundary still belong to the last
+    # device's receptive field — shipped replicated (it's <= halo rows) and
+    # substituted for its (zero) ppermute receive below
+    tail_halo = np.ascontiguousarray(
+        xp[:, n_dev * own:n_dev * own + halo]) if halo else None
+    xp = xp[:, :n_dev * own]                  # even shards; halo via ppermute
+    y_pad = np.pad(np.asarray(y), ((0, 0), (0, n_dev * k - Do),
+                                   (0, 0), (0, 0), (0, 0)))
+    with_att = att is not None
+    if with_att:
+        a_pad = np.pad(np.asarray(att), ((0, 0), (0, n_dev * k - Do),
+                                         (0, 0), (0, 0)))
+    else:  # dummy for uniform arity; never read
+        a_pad = np.zeros((1, n_dev), np.float32)
+    n_valid = np.clip(Do - k * np.arange(n_dev), 0, k).astype(np.int32)
 
-    sharded = NamedSharding(mesh, P(axis_name))
-    with_att = a_slabs is not None
+    shard_d = NamedSharding(mesh, P(None, axis_name))
+    shard_0 = NamedSharding(mesh, P(axis_name))
 
-    def local(x_s, y_s, a_s, nv):
+    def local(x_s, y_s, a_s, nv, tail):
+        # x_s: (N, own, Hp, Wp, C) — this device's rows.  Fetch the halo
+        # (the neighbor's first `halo` rows) over the ICI; the last device
+        # takes the replicated tail rows instead of its (zero) receive.
+        if halo:
+            head = x_s[:, :halo]
+            perm = [(i + 1, i) for i in range(n_dev - 1)]
+            recv = jax.lax.ppermute(head, axis_name, perm)
+            last = jax.lax.axis_index(axis_name) == n_dev - 1
+            recv = jnp.where(last, tail, recv)
+            x_s = jnp.concatenate([x_s, recv], axis=1)
         s = compute_gram_stats(
-            x_s[0], y_s[0], a_s[0] if with_att else None,
+            x_s[:, :in_d], y_s, a_s if with_att else None,
             ksize, stride, (0, 0, 0), dilation, has_bias,
             valid_depth=nv[0])
         parts = (s.A_att, s.B_att, s.A_unw, s.B_unw, s.yy_att, s.yy_unw)
         return tuple(jax.lax.psum(p, axis_name) for p in parts)
 
-    if not with_att:  # keep a uniform arity; the dummy is never read
-        a_slabs = jnp.zeros((n_dev, 1), jnp.float32)
+    if tail_halo is None:
+        tail_halo = np.zeros((1,), np.float32)  # dummy; never read
     run = jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=(P(axis_name),) * 4, out_specs=P()))
+        local, mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name),
+                  P(None, axis_name), P(axis_name), P()),
+        out_specs=P()))
     A_a, B_a, A_u, B_u, yy_a, yy_u = run(
-        jax.device_put(x_slabs, sharded), jax.device_put(y_slabs, sharded),
-        jax.device_put(a_slabs, sharded), jax.device_put(n_valid, sharded))
+        jax.device_put(xp, shard_d), jax.device_put(y_pad, shard_d),
+        jax.device_put(a_pad, shard_d), jax.device_put(n_valid, shard_0),
+        jax.device_put(tail_halo, NamedSharding(mesh, P())))
     return GramStats(A_a, B_a, A_u, B_u, yy_a, yy_u, has_bias,
                      int(np.prod(y.shape)))

@@ -197,8 +197,7 @@ def run_ptq(
                                 for t in (x_in, y_fp, p["kernel"],
                                           p.get("bias"), att)]
                     res = calibrate_layer(*args_cpu, **kw)
-                    res = {k: (jnp.asarray(v) if v is not None else None)
-                           for k, v in res.items()}
+                    res = jax.tree.map(jnp.asarray, res)
                 p["kernel"] = res["kernel"]
                 if res["bias"] is not None:
                     p["bias"] = res["bias"]

@@ -157,3 +157,27 @@ def test_tensor_parallel_matches_single_device():
     ref = nnir.apply(graph, variables, x)
     np.testing.assert_allclose(np.asarray(out_tp), np.asarray(ref),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_sharded_gram_stats_valid_padding_tail():
+    """padding=0 ('valid') geometry: the last device's receptive field
+    extends past the even shard boundary — the replicated tail-halo rows
+    must reach it (regression for real-data loss at the tail)."""
+    from efficientq_tpu.parallel import sharded_gram_stats
+    from efficientq_tpu.ptq.solver import compute_gram_stats
+
+    mesh = make_mesh()
+    rng = np.random.RandomState(13)
+    # D=18, k=3, pad 0 -> Do=16; 8 devices -> chunk 2, own=2, halo=1;
+    # last device's inputs need rows 16..17 past the 8*2=16 boundary
+    x = jnp.asarray(rng.randn(1, 18, 5, 5, 3).astype(np.float32))
+    y = jnp.asarray(rng.randn(1, 16, 3, 3, 4).astype(np.float32))
+    att = jnp.asarray(rng.rand(1, 16, 3, 3).astype(np.float32))
+    for a in (att, None):
+        sh = sharded_gram_stats(mesh, x, y, a, (3, 3, 3), (1, 1, 1),
+                                (0, 0, 0))
+        ref = compute_gram_stats(x, y, a, (3, 3, 3), (1, 1, 1), (0, 0, 0))
+        for f in ("A_att", "B_att", "A_unw", "B_unw", "yy_att", "yy_unw"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sh, f)), np.asarray(getattr(ref, f)),
+                rtol=2e-4, atol=2e-4, err_msg=f)
