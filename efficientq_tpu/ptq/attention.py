@@ -19,6 +19,7 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import ops
 
@@ -62,18 +63,24 @@ def hard_pred(out: jnp.ndarray, task: str) -> jnp.ndarray:
 
 def class_voxel_counts(out: jnp.ndarray, body_mask: jnp.ndarray,
                        task: str) -> List[int]:
-    """Per-class voxel counts of the hard prediction within the body mask."""
-    if task == "lits":
-        pred = pred_lits(out)
-        return [int(jnp.sum((pred == i) & body_mask)) for i in range(3)]
-    if task == "brats":
-        hard = jax.nn.sigmoid(out) >= 0.5
-        bkg = int(jnp.sum(jnp.sum(hard, axis=-1) == 0)) - int(jnp.sum(~body_mask))
-        nums = [bkg]
-        for i in range(hard.shape[-1]):
-            nums.append(int(jnp.sum(hard[..., i] & body_mask)))
-        return nums
-    raise ValueError(f"unknown task {task}")
+    """Per-class voxel counts of the hard prediction within the body mask.
+    One jitted program + one host transfer (not a sync per class)."""
+
+    @jax.jit
+    def counts(out, body_mask):
+        if task == "lits":
+            pred = pred_lits(out)
+            return jnp.stack([jnp.sum((pred == i) & body_mask)
+                              for i in range(3)])
+        if task == "brats":
+            hard = jax.nn.sigmoid(out) >= 0.5
+            bkg = (jnp.sum(jnp.sum(hard, axis=-1) == 0)
+                   - jnp.sum(~body_mask))
+            return jnp.stack([bkg] + [jnp.sum(hard[..., i] & body_mask)
+                                      for i in range(hard.shape[-1])])
+        raise ValueError(f"unknown task {task}")
+
+    return [int(v) for v in np.asarray(counts(out, body_mask))]
 
 
 def attention_weight_map(out_last: jnp.ndarray, body_mask: jnp.ndarray,

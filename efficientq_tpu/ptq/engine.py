@@ -114,8 +114,11 @@ def run_ptq(
     ones_mask = jnp.ones_like(body_mask)
     weight_map, nums = attention_weight_map(out_fp[-1], ones_mask, att_style,
                                             task)
-    pyramid = mask_pyramid(out_fp, body_mask, weight_map, init_stride,
-                           num_mask_lvls, task)
+    # one jitted program for the whole pyramid (the weight map values are
+    # baked as constants; traced once per run)
+    pyramid = jax.jit(lambda o, b: mask_pyramid(
+        o, b, weight_map, init_stride, num_mask_lvls, task))(out_fp,
+                                                             body_mask)
 
     # ---- the calibration sweep ----
     # The nodes BETWEEN calibration targets (relu/pool/add/upsample/BN glue)
