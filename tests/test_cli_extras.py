@@ -186,3 +186,30 @@ def test_dp_devices_cli_training(workdir, monkeypatch):
     assert P.isfile(P.join(snap, "loss.txt"))
     with open(P.join(snap, "loss.txt")) as f:
         assert len(f.read().strip()) > 0
+
+
+def test_act_only_quantization(workdir, monkeypatch):
+    """--qlvl_w -1 --qlvl_a 4: activation-only quantization — no ADMM, the
+    engine fits alpha_act per layer and keeps FP weights
+    (PTQConv q_weight=False branch, definer.py:307-310 semantics)."""
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+    snap = main([
+        "train_fp", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--patch_size", "8,8,8",
+        "--batch_size", "2", "--crop_type", "random", "--loss", "ce",
+        "--lr", "0.01", "--max_epoch", "2", "--test_interval", "99",
+        "--disp_interval", "1", "--no_test", *TINY,
+    ])
+    ckpt = P.join(snap, "state_0002.pkl")
+    snap_ptq = main([
+        "ptq", "--task", "lits", "--data_dir", data_dir, "--split_dir",
+        split_dir, "--round", "1", "--pretrain", ckpt, "--patch_size",
+        "8,8,8", "--qconv", "effq", "--qlvl_w", "-1", "--qlvl_a", "4",
+        "--lwq_patchsz", "16,16,16", "--no_test", *TINY,
+    ])
+    assert "actQa4" in snap_ptq  # exp-id tag (definer.py:286-319)
+    # no ADMM -> no per-layer losses, but the quantized export exists
+    assert P.isfile(P.join(snap_ptq, "state_in_fp.pkl"))
+    with open(P.join(snap_ptq, "layer_loss.txt")) as f:
+        assert f.read().strip() == ""
