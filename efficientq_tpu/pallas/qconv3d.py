@@ -40,19 +40,26 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _qconv3d_kernel(scale_ref, p0_ref, p1_ref, p2_ref, w_ref, b_ref, o_ref,
-                    *, H, W, dil, taps_hw):
+def _qconv3d_kernel(scale_ref, *refs, H, W, dil, taps_hw, tz):
+    """refs = tz + 2*dil int8 plane refs, then w_ref, b_ref, o_ref.
+
+    Each program computes ``tz`` output z-planes from tz + 2*dil input
+    planes (z-tiling: an input plane is fetched by ~(tz+2dil)/tz programs
+    instead of 3, cutting HBM read amplification)."""
+    plane_refs = refs[:tz + 2 * dil]
+    w_ref, b_ref, o_ref = refs[tz + 2 * dil:]
     scale = scale_ref[0]
-    acc = None
-    for kd, p_ref in enumerate((p0_ref, p1_ref, p2_ref)):
-        qa = p_ref[0, 0]  # (Hp, Wp, C) int8
-        cols = jnp.concatenate(
-            [qa[kh * dil:kh * dil + H, kw * dil:kw * dil + W, :]
-             .reshape(H * W, -1) for kh, kw in taps_hw], axis=1)
-        part = jnp.dot(cols, w_ref[kd], preferred_element_type=jnp.int32)
-        acc = part if acc is None else acc + part
-    o_ref[0, 0] = (acc.astype(jnp.float32) * scale
-                   + b_ref[:]).reshape(H, W, -1)
+    for z in range(tz):
+        acc = None
+        for kd in range(3):
+            qa = plane_refs[z + kd * dil][0, 0]  # (Hp, Wp, C) int8
+            cols = jnp.concatenate(
+                [qa[kh * dil:kh * dil + H, kw * dil:kw * dil + W, :]
+                 .reshape(H * W, -1) for kh, kw in taps_hw], axis=1)
+            part = jnp.dot(cols, w_ref[kd], preferred_element_type=jnp.int32)
+            acc = part if acc is None else acc + part
+        o_ref[0, z] = (acc.astype(jnp.float32) * scale
+                       + b_ref[:]).reshape(H, W, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("qlvl_act", "dilation",
@@ -80,7 +87,8 @@ def qconv3x3_int8_ndhwc(
     if bias is None:
         bias = jnp.zeros((o,), jnp.float32)
 
-    # act-quant in XLA (fuses into the producing op); int8 thereafter
+    # act-quant in XLA (fuses, with the padding, into one pass over the
+    # producing op's output); int8 thereafter
     qa = jnp.round(jnp.clip(x / alpha_act, 0.0, 1.0)
                    * (qlvl_act - 1)).astype(jnp.int8)
     qp = jnp.pad(qa, ((0, 0), (dil, dil), (dil, dil), (dil, dil), (0, 0)))
@@ -92,16 +100,32 @@ def qconv3x3_int8_ndhwc(
     scale1 = jnp.reshape(jnp.asarray(scale, jnp.float32), (1,))
     hp, wp = h + 2 * dil, w_sp + 2 * dil
 
+    # z-tile: TZ output planes per program, bounded by a VMEM budget that
+    # accounts for the 128-lane channel padding (C=32 tiles pad 4x)
+    def _pad128(v):
+        return -(-v // 128) * 128
+
+    tz = 1
+    if h * w_sp >= 1024:  # tiny planes: per-z overhead beats the read saving
+        for t in (8, 4, 2):
+            vmem = ((t + 2 * dil) * hp * wp * _pad128(c) * 2  # int8 planes x2
+                    + t * h * w_sp * _pad128(o) * 4 * 2       # f32 out x2
+                    + h * w_sp * _pad128(9 * c)               # im2col block
+                    + h * w_sp * _pad128(o) * 4)              # i32 accumulator
+            if d % t == 0 and vmem < 9 * 1024 * 1024:
+                tz = t
+                break
+
     kernel = functools.partial(_qconv3d_kernel, H=h, W=w_sp, dil=dil,
-                               taps_hw=taps_hw)
+                               taps_hw=taps_hw, tz=tz)
     plane_spec = [
         pl.BlockSpec((1, 1, hp, wp, c),
-                     lambda ni, zi, _k=k: (ni, zi + _k * dil, 0, 0, 0))
-        for k in range(3)
+                     lambda ni, zi, _k=k: (ni, zi * tz + _k, 0, 0, 0))
+        for k in range(tz + 2 * dil)
     ]
     out = pl.pallas_call(
         kernel,
-        grid=(n, d),
+        grid=(n, d // tz),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM) if _HAS_PLTPU and not interpret
             else pl.BlockSpec((1,), lambda ni, zi: (0,)),
@@ -109,9 +133,9 @@ def qconv3x3_int8_ndhwc(
             pl.BlockSpec((3, 9 * c, o), lambda ni, zi: (0, 0, 0)),
             pl.BlockSpec((1, o), lambda ni, zi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, h, w_sp, o),
+        out_specs=pl.BlockSpec((1, tz, h, w_sp, o),
                                lambda ni, zi: (ni, zi, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, d, h, w_sp, o), jnp.float32),
         interpret=interpret,
-    )(scale1, qp, qp, qp, w_mat, bias2d)
+    )(scale1, *([qp] * (tz + 2 * dil)), w_mat, bias2d)
     return out

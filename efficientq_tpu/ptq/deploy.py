@@ -32,7 +32,8 @@ def eligible(qcfg) -> bool:
 
 
 def to_int8_inference(graph: Graph, variables, pallas: bool = True,
-                      only_kernel_sizes=None) -> Tuple[Graph, Dict]:
+                      only_kernel_sizes=None,
+                      node_filter=None) -> Tuple[Graph, Dict]:
     """Returns (graph', variables') with eligible qconvs converted to int8
     codes + scale epilogue.  Input variables must hold post-PTQ quantized
     kernels (values = alpha_w * grid).
@@ -54,7 +55,8 @@ def to_int8_inference(graph: Graph, variables, pallas: bool = True,
         if (node.op == "conv" and eligible(node.attrs.get("qcfg"))
                 and (only_kernel_sizes is None
                      or tuple(node.attrs["kernel_size"])
-                     in only_kernel_sizes)):
+                     in only_kernel_sizes)
+                and (node_filter is None or node_filter(node))):
             qcfg = node.attrs["qcfg"]
             p = params[node.name]
             alpha_w = jnp.asarray(p["alpha_w"], jnp.float32)

@@ -136,8 +136,8 @@ def test_qconv3x3_int8_matches_xla_int_conv():
     from efficientq_tpu.pallas.qconv3d import qconv3x3_int8_ndhwc
 
     rng = np.random.RandomState(0)
-    for dil in (1, 2):
-        n, d, h, w, c, o = 2, 5, 6, 7, 5, 9
+    for dil, d in ((1, 5), (2, 5), (1, 8), (2, 8)):  # d=8 exercises z-tiling
+        n, h, w, c, o = 2, 6, 7, 5, 9
         x = jnp.asarray(np.abs(rng.randn(n, d, h, w, c)).astype(np.float32))
         codes = jnp.asarray(
             rng.randint(-3, 4, size=(3, 3, 3, c, o)).astype(np.int8))
