@@ -201,10 +201,15 @@ def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision,
         interpret = jax.default_backend() != "tpu"
         n, d, h, w_sp, c = x.shape
         if a.get("int8") and a["kernel_size"] == (3, 3, 3):
+            # with a low-precision compute_dtype requested, emit the conv
+            # output in that dtype (halves the write + downstream read; the
+            # downstream act-quant re-rounds anyway).  None -> f32, the
+            # bit-exact deployment default.
             return qconv3x3_int8_ndhwc(
                 x, p["kernel_int8"], p.get("bias"), p["alpha_act"],
                 p["scale"], qcfg.qlvl_act, dilation=a["dilation"][0],
-                interpret=interpret)
+                interpret=interpret,
+                out_dtype=compute_dtype or jnp.float32)
         if a.get("int8"):
             y = fused_int8_matmul(
                 x.reshape(-1, c), p["kernel_int8"].reshape(c, -1),

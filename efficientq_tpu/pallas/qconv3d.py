@@ -40,7 +40,7 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _qconv3d_kernel(scale_ref, *refs, H, W, dil, taps_hw, tz):
+def _qconv3d_kernel(scale_ref, *refs, H, W, dil, taps_hw, tz, out_dtype):
     """refs = tz + 2*dil int8 plane refs, then w_ref, b_ref, o_ref.
 
     Each program computes ``tz`` output z-planes from tz + 2*dil input
@@ -59,11 +59,11 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, dil, taps_hw, tz):
             part = jnp.dot(cols, w_ref[kd], preferred_element_type=jnp.int32)
             acc = part if acc is None else acc + part
         o_ref[0, z] = (acc.astype(jnp.float32) * scale
-                       + b_ref[:]).reshape(H, W, -1)
+                       + b_ref[:]).reshape(H, W, -1).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("qlvl_act", "dilation",
-                                             "interpret"))
+                                             "interpret", "out_dtype"))
 def qconv3x3_int8_ndhwc(
     x: jax.Array,
     w_codes: jax.Array,
@@ -73,6 +73,7 @@ def qconv3x3_int8_ndhwc(
     qlvl_act: int,
     dilation: int = 1,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """y = conv3d(int8_codes(x), w_codes) * scale + bias, stride 1,
     padding = dilation ('same'), one fused Pallas program per output plane.
@@ -117,7 +118,7 @@ def qconv3x3_int8_ndhwc(
                 break
 
     kernel = functools.partial(_qconv3d_kernel, H=h, W=w_sp, dil=dil,
-                               taps_hw=taps_hw, tz=tz)
+                               taps_hw=taps_hw, tz=tz, out_dtype=out_dtype)
     plane_spec = [
         pl.BlockSpec((1, 1, hp, wp, c),
                      lambda ni, zi, _k=k: (ni, zi * tz + _k, 0, 0, 0))
@@ -135,7 +136,7 @@ def qconv3x3_int8_ndhwc(
         ],
         out_specs=pl.BlockSpec((1, tz, h, w_sp, o),
                                lambda ni, zi: (ni, zi, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, w_sp, o), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, d, h, w_sp, o), out_dtype),
         interpret=interpret,
     )(scale1, *([qp] * (tz + 2 * dil)), w_mat, bias2d)
     return out
