@@ -22,6 +22,11 @@ sys.path.insert(0, P.dirname(P.dirname(P.abspath(__file__))))
 REF = "/root/reference/src"
 
 
+import os
+
+QLVL = int(os.environ.get("CROSS_CHECK_QLVL", "4"))
+
+
 class _Args:
     task = "lits"
     nMod = 1
@@ -32,8 +37,8 @@ class _Args:
     init_stride = "2,2,2"
     blk = "mid"
     qconv = "effq"
-    qlvl_w = 4
-    qlvl_a = 4
+    qlvl_w = QLVL
+    qlvl_a = QLVL
     q_first = "256,-1"
     q_last = "256,-1"
     nla = "relu"
@@ -153,7 +158,7 @@ def main():
         width_config=[4, 8, 4], dilation_config=[1, 1, 1],
         init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid", ds="simple",
         ds_depth_limit=3, aniso_pool_depth=99999, fuse_bn=True,
-        quantize=True, qlvl_w=4, qlvl_act=4, q_first=(256, -1),
+        quantize=True, qlvl_w=QLVL, qlvl_act=QLVL, q_first=(256, -1),
         q_last=(256, -1))
     graph = build_uresq(cfg)
     variables = nnir.init(graph, jax.random.PRNGKey(0))
