@@ -213,3 +213,35 @@ def test_act_only_quantization(workdir, monkeypatch):
     assert P.isfile(P.join(snap_ptq, "state_in_fp.pkl"))
     with open(P.join(snap_ptq, "layer_loss.txt")) as f:
         assert f.read().strip() == ""
+
+
+def test_post_complex_cli_pipeline(workdir, monkeypatch):
+    """train_fp + ptq with --blk post --ds complex through the real CLI
+    (the orderings/heads that no preset exercises)."""
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+    variant = [
+        "--width", "4,8,4", "--depth", "1,1,1", "--dilation", "1,1,1",
+        "--init_stride", "2,2,1", "--blk", "post", "--ds", "complex",
+        "--hetero_dim", "--drop_rate", "0.0", "--nMod", "1", "--nClass", "3",
+    ]
+    snap = main([
+        "train_fp", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--patch_size", "8,8,8",
+        "--batch_size", "2", "--crop_type", "random", "--loss", "ce",
+        "--lr", "0.01", "--max_epoch", "2", "--test_interval", "99",
+        "--disp_interval", "1", "--no_test", *variant,
+    ])
+    ckpt = P.join(snap, "state_0002.pkl")
+    assert P.isfile(ckpt)
+    snap_ptq = main([
+        "ptq", "--task", "lits", "--data_dir", data_dir, "--split_dir",
+        split_dir, "--round", "1", "--pretrain", ckpt, "--patch_size",
+        "8,8,8", "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
+        "--lwq_patchsz", "16,16,16", "--lwq_iter", "3", "--no_test",
+        *variant,
+    ])
+    with open(P.join(snap_ptq, "layer_loss.txt")) as f:
+        lines = [l for l in f.read().splitlines() if l.strip()]
+    assert len(lines) > 0
+    assert P.isfile(P.join(snap_ptq, "state_in_int8.pkl"))
