@@ -125,7 +125,13 @@ def main():
     mixed_sync_vps = time_sync(infer_mixed, mvars)
     mixed_async_vps = time_async(infer_mixed, mvars)
 
-    tpu_volumes_per_sec = max(sync_vps, int8_sync_vps, mixed_sync_vps)
+    # headline stays pinned to the best *synchronous* serving variant, and
+    # we record WHICH variant produced it so cross-round BENCH numbers stay
+    # comparable (advisor r2)
+    sync_variants = {"bf16_sync": sync_vps, "int8_pallas_sync": int8_sync_vps,
+                     "mixed_int8_3x3_sync": mixed_sync_vps}
+    headline_variant = max(sync_variants, key=sync_variants.get)
+    tpu_volumes_per_sec = sync_variants[headline_variant]
 
     # torch CPU FP32 baseline: one 128^3 patch through the same graph,
     # extrapolated to the 18-patch volume (a full CPU volume would take
@@ -142,6 +148,7 @@ def main():
         "value": round(tpu_volumes_per_sec, 4),
         "unit": "volumes/sec",
         "vs_baseline": round(tpu_volumes_per_sec / cpu_volumes_per_sec, 2),
+        "headline_variant": headline_variant,
         "variants": {
             "bf16_sync": round(sync_vps, 4),
             "bf16_async": round(async_vps, 4),

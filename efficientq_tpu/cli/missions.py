@@ -82,9 +82,13 @@ def train_fp(args):
 
         devs = jax.devices()
         n = len(devs) if dp < 0 else dp
-        assert n <= len(devs), f"--dp_devices {n} > {len(devs)} devices"
-        assert args.batch_size % n == 0, (
-            f"batch_size {args.batch_size} not divisible by {n} devices")
+        # user-input checks: real exceptions, not asserts (advisor r2 —
+        # asserts vanish under python -O and surface as sharding errors)
+        if n > len(devs):
+            raise ValueError(f"--dp_devices {n} > {len(devs)} devices")
+        if args.batch_size % n != 0:
+            raise ValueError(
+                f"batch_size {args.batch_size} not divisible by {n} devices")
         mesh = Mesh(np.array(devs[:n]), ("data",))
         print(f"Data-parallel over {n} devices: {mesh}")
 

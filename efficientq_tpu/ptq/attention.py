@@ -15,6 +15,7 @@ All tensors NDHWC (channels last); masks are (N, D, H, W).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Tuple
 
 import jax
@@ -61,26 +62,28 @@ def hard_pred(out: jnp.ndarray, task: str) -> jnp.ndarray:
     raise ValueError(f"unknown task {task}")
 
 
+@partial(jax.jit, static_argnames="task")
+def _class_voxel_counts(out, body_mask, task):
+    if task == "lits":
+        pred = pred_lits(out)
+        return jnp.stack([jnp.sum((pred == i) & body_mask)
+                          for i in range(3)])
+    if task == "brats":
+        hard = jax.nn.sigmoid(out) >= 0.5
+        bkg = (jnp.sum(jnp.sum(hard, axis=-1) == 0)
+               - jnp.sum(~body_mask))
+        return jnp.stack([bkg] + [jnp.sum(hard[..., i] & body_mask)
+                                  for i in range(hard.shape[-1])])
+    raise ValueError(f"unknown task {task}")
+
+
 def class_voxel_counts(out: jnp.ndarray, body_mask: jnp.ndarray,
                        task: str) -> List[int]:
     """Per-class voxel counts of the hard prediction within the body mask.
-    One jitted program + one host transfer (not a sync per class)."""
-
-    @jax.jit
-    def counts(out, body_mask):
-        if task == "lits":
-            pred = pred_lits(out)
-            return jnp.stack([jnp.sum((pred == i) & body_mask)
-                              for i in range(3)])
-        if task == "brats":
-            hard = jax.nn.sigmoid(out) >= 0.5
-            bkg = (jnp.sum(jnp.sum(hard, axis=-1) == 0)
-                   - jnp.sum(~body_mask))
-            return jnp.stack([bkg] + [jnp.sum(hard[..., i] & body_mask)
-                                      for i in range(hard.shape[-1])])
-        raise ValueError(f"unknown task {task}")
-
-    return [int(v) for v in np.asarray(counts(out, body_mask))]
+    One jitted program + one host transfer (not a sync per class); the jit
+    is module-level (task static) so repeat calls hit the trace cache."""
+    return [int(v) for v in np.asarray(_class_voxel_counts(out, body_mask,
+                                                           task))]
 
 
 def attention_weight_map(out_last: jnp.ndarray, body_mask: jnp.ndarray,

@@ -31,24 +31,29 @@ def eligible(qcfg) -> bool:
             and qcfg.qlvl_act <= 128 and qcfg.qlvl_w <= 128)
 
 
-def to_int8_inference(graph: Graph, variables, pallas: bool = True,
+def to_int8_inference(graph: Graph, variables, pallas: bool = None,
                       only_kernel_sizes=None,
                       node_filter=None) -> Tuple[Graph, Dict]:
     """Returns (graph', variables') with eligible qconvs converted to int8
     codes + scale epilogue.  Input variables must hold post-PTQ quantized
     kernels (values = alpha_w * grid).
 
-    With ``pallas=True`` (default) the result is additionally flagged for
-    the fused Pallas kernels (pallas/qmatmul.py, pallas/qconv3d.py): on a
-    TPU backend the int8 3^3 convs and 1x1x1 matmuls run as single fused
-    act-quant + int8-MXU programs; elsewhere they run in interpret mode
-    only if invoked, so pass pallas=False for CPU-bound deployments.
+    With ``pallas=True`` the result is additionally flagged for the fused
+    Pallas kernels (pallas/qmatmul.py, pallas/qconv3d.py): on a TPU backend
+    the int8 3^3 convs and 1x1x1 matmuls run as single fused act-quant +
+    int8-MXU programs.  Default is backend-derived (TPU -> True): elsewhere
+    the kernels would dispatch through interpret-mode Pallas, orders of
+    magnitude slower than the XLA int8 conv (advisor r2).
 
     ``only_kernel_sizes``: optional collection of kernel-size triples —
     qconvs with other shapes keep the float fake-quant path (e.g.
     ``{(3, 3, 3)}`` gives the mixed serving graph: int8 MXU for the
     FLOP-heavy 3^3 convs, bf16 XLA matmuls for the skinny transitions).
     """
+    if pallas is None:
+        import jax
+
+        pallas = jax.default_backend() == "tpu"
     params = {k: dict(v) for k, v in variables["params"].items()}
     new_nodes = []
     for node in graph.nodes:

@@ -115,9 +115,10 @@ def test_to_pallas_inference_product_path_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
                                rtol=2e-4)
 
-    # int8 deployment composes the pallas flags by default: the 3x3x3 int8
-    # convs are flagged, the skinny 1x1x1s stay on XLA's int8 dot
-    ig, iv = to_int8_inference(fg, fv)
+    # int8 deployment composes the pallas flags (default on TPU backends;
+    # explicit here since tests run on CPU): the 3x3x3 int8 convs are
+    # flagged, the skinny 1x1x1s stay on XLA's int8 dot
+    ig, iv = to_int8_inference(fg, fv, pallas=True)
     pig = to_pallas_inference(ig, include_1x1=True)
     assert any(n.attrs.get("pallas") and n.attrs.get("int8")
                and n.attrs["kernel_size"] == (3, 3, 3) for n in ig.nodes)
