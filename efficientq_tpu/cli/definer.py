@@ -102,6 +102,7 @@ def get_data_cube(args):
         train_split=P.join(split_dir, round_str, "train.txt"),
         val_split=P.join(split_dir, round_str, "val.txt"),
         test_split=P.join(split_dir, round_str, "test.txt"),
+        true_test_split=P.join(split_dir, round_str, "true_test.txt"),
         train_batchsize=args.batch_size, test_batchsize=args.test_batch_size,
         access_type=args.access_type, rand_flip=(1, 1, 1),
         crop_type=args.crop_type, balance_rate=args.balance_rate,

@@ -103,9 +103,24 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lwq_rho_max", type=float, default=1000.0)
     parser.add_argument("--lwq_eta", type=float, default=1.0)
     parser.add_argument("--lwq_verbose", action="store_true")
+    # whole-network alpha_act refinement after the per-layer sweep — the
+    # reference implements this but never calls it (src/ptqer.py:238-272);
+    # measured +0.002 dice at W2A2 (BASELINE.md). 0 = off, N = Adam iters.
+    parser.add_argument("--tune_act", type=int, default=0,
+                        help="joint activation-range tuning iterations "
+                             "after per-layer PTQ (0 = off)")
 
     # evaluation config
     parser.add_argument("--save_nii", action="store_true")
+    # the reference implements lesion-level CC metrics and true-test
+    # inference but hardcodes both off (src/train_seg.py:183-184); here they
+    # are reachable from the CLI
+    parser.add_argument("--is_cc", action="store_true",
+                        help="lesion-level connected-component metrics "
+                             "(fpl/fnl/totall) in the final metric files")
+    parser.add_argument("--true_test", action="store_true",
+                        help="label-free inference + NIfTI export on the "
+                             "true-test split after the final tests")
     # TPU-native extension (not in the reference flag surface): checkpoint
     # backend — 'pickle' is the reference-parity default, 'orbax' writes
     # directory-based multi-host-safe checkpoints (utils/checkpoint.py)

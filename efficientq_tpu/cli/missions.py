@@ -23,9 +23,10 @@ from . import definer
 
 def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                 mode="fp"):
-    """validate_final equivalent: per-split metric files
-    (trainer.py:272-304)."""
+    """validate_final + optional inference_final equivalent: per-split
+    metric files, then label-free true-test export (trainer.py:253-307)."""
     os.makedirs(save_dir, exist_ok=True)
+    is_cc = bool(getattr(args, "is_cc", False))
     for split, loader, sns in (("val", hub.valloader, hub.val_sn),
                                ("test", hub.testloader, hub.test_sn)):
         if loader is None:
@@ -34,7 +35,8 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
         sm = validate_seg(graph, variables, loader, sns, num_mo, n_class,
                           patch_size=hub.slide_patch_size,
                           overlap=hub.slide_overlap, mode=mode,
-                          save_dir=nii_dir, sn_fn_dict=hub.sn_to_fn_map,
+                          save_dir=nii_dir, is_cc=is_cc,
+                          sn_fn_dict=hub.sn_to_fn_map,
                           restore_shape_func=hub.restore_shape_func,
                           restore_infokw=hub.restore_infokw,
                           merge_label_func=hub.merge_label_func,
@@ -43,6 +45,25 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
             for i in range(-1, -num_mo - 1, -1):
                 sm[i].write_metric(f, "Output %d:" % i, is_indiv=True)
         sm[-1].print_metric("  " + split)
+    if getattr(args, "true_test", False):
+        # inference_final: label-free NIfTI export of the true-test split
+        # (trainer.py:253-270,307; suffix '' as trainer.test passes it)
+        if hub.true_test_image_loader is None:
+            print("No true-test split found (true_test.txt); skipping "
+                  "true-test inference.")
+        else:
+            from ..eval.validate import inference
+
+            inference(graph, variables, hub.true_test_image_loader,
+                      hub.true_test_sn,
+                      save_dir=P.join(save_dir, "true_test"),
+                      patch_size=hub.slide_patch_size,
+                      overlap=hub.slide_overlap, mode=mode, suffix="",
+                      sn_fn_dict=hub.sn_to_fn_map,
+                      restore_shape_func=hub.restore_shape_func,
+                      restore_infokw=hub.restore_infokw,
+                      merge_label_func=hub.merge_label_func,
+                      multilabel_fusetype=hub.multilabel_fusetype)
 
 
 def train_fp(args):
@@ -194,6 +215,19 @@ def ptq(args):
         graph, variables, calib_x, task=args.task,
         init_stride=definer.parse_triple(args.init_stride), hp=hp,
         verbose=args.lwq_verbose)
+
+    if getattr(args, "tune_act", 0):
+        # joint alpha_act refinement on the calibration volume
+        # (tune_activation_range, src/ptqer.py:238-272 — unused there)
+        from ..ptq.tune import tune_activation_range
+
+        qvars, tune_losses = tune_activation_range(
+            fgraph, qvars, calib_x, report.output_fp,
+            max_iter=args.tune_act)
+        print(f"tune_act: recon MSE {tune_losses[0]:.6g} -> "
+              f"{tune_losses[-1]:.6g} over {len(tune_losses)} iters")
+        with open(P.join(snap_dir, "tune_act_loss.txt"), "w") as f:
+            f.write("\n".join(f"{v:.8g}" for v in tune_losses))
 
     print(f"FP forward costs {report.fp_forward_seconds:.3f}s, PTQ costs "
           f"{report.calibration_seconds:.3f}s.")

@@ -68,6 +68,12 @@ def make_synthetic_dataset(root, task="lits", n_subjects=4,
         else:
             np.save(P.join(data_dir, "seg", f"{sn}.npy"), label)
 
+    # sn -> source-NIfTI map used for affine lookup on export
+    # (datahub sn_fn_file; missing files fall back to an identity affine)
+    with open(P.join(data_dir, "sn_fn.txt"), "w") as f:
+        for sn in sns:
+            f.write(f"{sn},{P.join(data_dir, mods[0], sn + '.nii.gz')}\n")
+
     rdir = P.join(split_dir, f"round{round_id}")
     os.makedirs(rdir, exist_ok=True)
     n_tr = max(1, int(len(sns) * splits[0]))
@@ -76,6 +82,9 @@ def make_synthetic_dataset(root, task="lits", n_subjects=4,
         "train.txt": sns[:n_tr],
         "val.txt": sns[n_tr:n_tr + n_val] or sns[:1],
         "test.txt": sns[n_tr + n_val:] or sns[-1:],
+        # true-test split (label-free inference target); reuse the test
+        # subjects — the loader drops the label modality anyway
+        "true_test.txt": sns[n_tr + n_val:] or sns[-1:],
     }
     for fname, lst in parts.items():
         with open(P.join(rdir, fname), "w") as f:

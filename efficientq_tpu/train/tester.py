@@ -30,9 +30,13 @@ class Tester:
         os.makedirs(root, exist_ok=True)
 
     def test_as_is(self, folder: str = "test_as_is", is_save_nii: bool = False,
-                   is_indiv: bool = True):
+                   is_indiv: bool = True, is_cc: bool = False,
+                   is_true_test: bool = False):
         """Evaluate current weights on val/test splits; writes
-        <split>_seg.txt under <root>/<folder> (trainer.py:272-304)."""
+        <split>_seg.txt under <root>/<folder> (trainer.py:272-304).
+        ``is_cc`` adds lesion-level fpl/fnl/totall columns; ``is_true_test``
+        additionally exports label-free true-test segmentations
+        (tester.py:23-30, trainer.py:253-270,307)."""
         save_dir = P.join(self.root, folder)
         os.makedirs(save_dir, exist_ok=True)
         results = {}
@@ -47,7 +51,8 @@ class Tester:
                 self.graph, self.variables, loader, sns, self.num_mo,
                 self.n_class, patch_size=self.data.slide_patch_size,
                 overlap=self.data.slide_overlap, mode=self.mode,
-                save_dir=nii_dir, sn_fn_dict=self.data.sn_to_fn_map,
+                save_dir=nii_dir, is_cc=is_cc,
+                sn_fn_dict=self.data.sn_to_fn_map,
                 restore_shape_func=self.data.restore_shape_func,
                 restore_infokw=self.data.restore_infokw,
                 merge_label_func=self.data.merge_label_func,
@@ -57,6 +62,20 @@ class Tester:
                     sm[i].write_metric(f, "Output %d:" % i, is_indiv)
             sm[-1].print_metric("  " + split)
             results[split] = sm
+        if is_true_test and self.data.true_test_image_loader is not None:
+            from ..eval.validate import inference
+
+            inference(self.graph, self.variables,
+                      self.data.true_test_image_loader,
+                      self.data.true_test_sn,
+                      save_dir=P.join(save_dir, "true_test"),
+                      patch_size=self.data.slide_patch_size,
+                      overlap=self.data.slide_overlap, mode=self.mode,
+                      suffix="", sn_fn_dict=self.data.sn_to_fn_map,
+                      restore_shape_func=self.data.restore_shape_func,
+                      restore_infokw=self.data.restore_infokw,
+                      merge_label_func=self.data.merge_label_func,
+                      multilabel_fusetype=self.multilabel_fusetype)
         return results
 
     def snapshot(self, fname: str, compress: bool = False):

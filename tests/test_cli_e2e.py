@@ -67,7 +67,8 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
         "--patch_size", "8,8,8", "--access_type", "npy",
         "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
         "--q_first", "256,-1", "--q_last", "256,-1",
-        "--lwq_patchsz", "16,16,16", "--lwq_iter", "10", *TINY_MODEL,
+        "--lwq_patchsz", "16,16,16", "--lwq_iter", "10",
+        "--tune_act", "3", "--is_cc", "--true_test", *TINY_MODEL,
     ])
     # reference artifact set (ptqer.py:366-387)
     for fname in ("time_cost.txt", "layer_loss.txt", "class_voxel_nums.txt",
@@ -82,3 +83,14 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
         lines = f.read().splitlines()
     assert len(lines) > 5
     assert all(":" in l for l in lines)
+    # --is_cc: lesion-level metrics present in the metric files
+    with open(P.join(snap_ptq, "ptq", "val_seg.txt")) as f:
+        val_txt = f.read()
+    assert "fpl" in val_txt and "fnl" in val_txt and "totall" in val_txt
+    # --true_test: label-free NIfTI export of the true-test split
+    tt = glob.glob(P.join(snap_ptq, "ptq", "true_test", "*.nii.gz"))
+    assert tt, os.listdir(P.join(snap_ptq, "ptq"))
+    # --tune_act: loss curve written, finite and (weakly) decreasing start
+    with open(P.join(snap_ptq, "tune_act_loss.txt")) as f:
+        tune_losses = [float(v) for v in f.read().split()]
+    assert len(tune_losses) == 3 and all(np.isfinite(tune_losses))
