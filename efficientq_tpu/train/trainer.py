@@ -107,8 +107,13 @@ class Trainer:
                 y = jax.lax.with_sharding_constraint(y, xsh)
                 params = jax.lax.with_sharding_constraint(
                     params, jax.tree.map(lambda _: rsh, params))
+            # layout transpose + per-step RNG derivation fused into the
+            # compiled program: the host loop issues no per-step device ops
+            # beyond the step call itself
+            x = ops.ncdhw_to_ndhwc(x)
+            sub = jax.random.fold_in(rng, step_idx)
             (loss, (new_state, arr)), grads = jax.value_and_grad(
-                loss_and_state, has_aux=True)(params, state, x, y, rng)
+                loss_and_state, has_aux=True)(params, state, x, y, sub)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             merged_state = {**state, **new_state}
@@ -118,24 +123,34 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:
+        """One pipelined epoch.
+
+        The reference overlaps host prep with device compute via DataLoader
+        worker processes (src/dataloader/datahub.py:94-115); here the epoch
+        loop never blocks on a step result: batches are double-buffered
+        onto the device (data/prefetch.py::device_feed) and the loss
+        scalars accumulate as device values, materialized ONCE at the epoch
+        boundary.  The NaN check runs on the materialized values."""
+        from ..data.prefetch import device_feed
+
         loss_buf, arr_buf = [], []
-        for images, masks in iter(self.data.trainloader):
-            x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
-            y = jnp.asarray(masks)
-            self.rng, sub = jax.random.split(self.rng)
+        for x, y in device_feed(self.data.trainloader):
             p, s, o, loss, arr = self._train_step(
                 self.variables["params"], self.variables["state"],
-                self.opt_state, x, y, sub, self.step_idx)
+                self.opt_state, x, y, self.rng, self.step_idx)
             self.variables = {"params": p, "state": s}
             self.opt_state = o
             self.step_idx += 1
-            lv = float(loss)
-            if self.check_nan and not np.isfinite(lv):
-                print("NaN")
-            loss_buf.append(lv)
-            arr_buf.append(np.asarray(arr))
-        loss_dict = {"loss": float(np.mean(loss_buf))}
-        arr_mean = np.mean(np.stack(arr_buf), axis=0)
+            loss_buf.append(loss)
+            arr_buf.append(arr)
+        # single epoch-end materialization: one stacked transfer each for
+        # the scalars and the per-head arrays (N sequential tiny transfers
+        # cost ~25 ms each through a remote-attached device)
+        losses = np.asarray(jnp.stack(loss_buf))
+        arr_mean = np.asarray(jnp.mean(jnp.stack(arr_buf), axis=0))
+        if self.check_nan and not np.all(np.isfinite(losses)):
+            print("NaN")
+        loss_dict = {"loss": float(np.mean(losses))}
         for i in range(-len(arr_mean), 0):
             loss_dict[f"loss/{i}"] = float(arr_mean[i])
         return loss_dict
