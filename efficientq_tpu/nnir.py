@@ -185,9 +185,11 @@ def _pallas_3x3_int8_eligible(a) -> bool:
             and a["groups"] == 1)
 
 
-def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision,
+def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
                compute_dtype=None):
     a = node.attrs
+    p = params[node.name]
+    x = ins[0]
     qcfg: Optional[QCfg] = a.get("qcfg")
     if (a.get("pallas") and mode in ("quantized", "fq") and qcfg is not None
             and qcfg.q_act):
@@ -204,12 +206,19 @@ def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision,
             # with a low-precision compute_dtype requested, emit the conv
             # output in that dtype (halves the write + downstream read; the
             # downstream act-quant re-rounds anyway).  None -> f32, the
-            # bit-exact deployment default.
+            # bit-exact deployment default.  Fused epilogues (residual add,
+            # next-layer act-quant) come from pallas/epilogue.py.
+            quant_for = a.get("epilogue_quant_for")
             return qconv3x3_int8_ndhwc(
                 x, p["kernel_int8"], p.get("bias"), p["alpha_act"],
                 p["scale"], qcfg.qlvl_act, dilation=a["dilation"][0],
                 interpret=interpret,
-                out_dtype=compute_dtype or jnp.float32)
+                out_dtype=compute_dtype or jnp.float32,
+                residual=ins[1] if a.get("residual") else None,
+                quant_alpha=(params[quant_for]["alpha_act"]
+                             if quant_for else None),
+                quant_qlvl=a.get("epilogue_qlvl", 0) if quant_for else 0,
+                x_quantized=bool(a.get("input_quantized")))
         if a.get("int8"):
             y = fused_int8_matmul(
                 x.reshape(-1, c), p["kernel_int8"].reshape(c, -1),
@@ -225,8 +234,11 @@ def _eval_conv(node: Node, p: Dict[str, jax.Array], x, mode: str, precision,
         # true integer path (ptq/deploy.py): quantize acts to int8 codes,
         # int8 x int8 conv with int32 accumulation, f32 scale epilogue —
         # bit-exact with the fake-quant computation
-        qa = jnp.round(jnp.clip(x / p["alpha_act"], 0.0, 1.0)
-                       * (qcfg.qlvl_act - 1)).astype(jnp.int8)
+        if a.get("input_quantized"):
+            qa = x  # producer emitted this conv's codes (pallas/epilogue.py)
+        else:
+            qa = jnp.round(jnp.clip(x / p["alpha_act"], 0.0, 1.0)
+                           * (qcfg.qlvl_act - 1)).astype(jnp.int8)
         y = ops.conv3d(qa, p["kernel_int8"], None, a["stride"], a["padding"],
                        a["dilation"], a["groups"],
                        preferred_element_type=jnp.int32)
@@ -266,8 +278,7 @@ def eval_node(node: Node, params: Dict[str, Any], state: Dict[str, Any],
     """Evaluate a single (inference-mode) node. Used by both the jitted
     whole-graph ``apply`` and the eager PTQ calibration sweep."""
     if node.op == "conv":
-        return _eval_conv(node, params[node.name], ins[0], mode, precision,
-                          compute_dtype)
+        return _eval_conv(node, params, ins, mode, precision, compute_dtype)
     if node.op == "bn":
         p = params[node.name]
         s = state[node.name]

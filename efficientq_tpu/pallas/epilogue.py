@@ -1,0 +1,123 @@
+"""Epilogue fusion for the int8 Pallas deployment graph.
+
+A `pallas_call` is an XLA fusion barrier: in the unfused int8 serving graph
+every interior 3^3 conv writes its output to HBM, XLA re-reads it for the
+relu / residual-add / next act-quant, and writes again — traffic the bf16
+whole-graph path never pays (XLA fuses those elementwise ops into its own
+convs), which is why bf16 beat int8 end-to-end in round 2.
+
+This transform rewrites the deployed graph (after ``to_int8_inference`` +
+``to_pallas_inference``) so the elementwise neighborhood of each Pallas
+int8 3^3 conv moves INTO the kernel:
+
+1. conv -> [identity/dropout]* -> relu -> [identity/dropout]* -> int8 conv
+   (every hop single-consumer): the producer emits the consumer's int8
+   activation codes directly (`epilogue_quant_for`), the relu folds into
+   the quantize clip-at-0, and the consumer skips its own act-quant
+   (`input_quantized`).  One int8 write instead of a float write + float
+   read + int8 write.  This is the ResBlock's block1.conv -> block2.conv
+   edge (src/models/UResQNet.py block factories).
+
+2. conv -> [identity/dropout]* -> add(other): the residual operand streams
+   into the kernel at the output tiling and the add happens in VMEM
+   (`residual`); the add node becomes an identity.  This is the ResBlock's
+   block2.conv -> add edge.
+
+Both rewrites are deployment-graph-only (mode='quantized'); the fused
+graph must not be used for calibration or capture.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List
+
+from ..nnir import Graph, Node
+
+_TRANSPARENT = ("identity", "dropout")
+
+
+def _consumers(graph: Graph) -> Dict[str, List[str]]:
+    out: Dict[str, List[str]] = {}
+    for n in graph.nodes:
+        for i in n.inputs:
+            out.setdefault(i, []).append(n.name)
+    # graph outputs are external consumers
+    for o in graph.outputs:
+        out.setdefault(o, []).append("__output__")
+    return out
+
+
+def _follow_transparent(nodes, cons, name):
+    """Walk forward through single-consumer identity/dropout nodes; returns
+    (last transparent node name, the single consumer after it) or
+    (name, None) if the chain fans out / ends."""
+    cur = name
+    while True:
+        cs = cons.get(cur, [])
+        if len(cs) != 1 or cs[0] == "__output__":
+            return cur, None
+        nxt = nodes[cs[0]]
+        if nxt.op in _TRANSPARENT:
+            cur = nxt.name
+            continue
+        return cur, nxt
+
+
+def _is_pallas_int8_3x3(node: Node) -> bool:
+    return (node.op == "conv" and node.attrs.get("pallas")
+            and node.attrs.get("int8")
+            and node.attrs.get("kernel_size") == (3, 3, 3))
+
+
+def fuse_int8_epilogues(graph: Graph) -> Graph:
+    """Returns a new graph with relu+act-quant and residual-add epilogues
+    folded into eligible Pallas int8 3^3 convs."""
+    nodes = {n.name: dataclasses.replace(n, inputs=tuple(n.inputs),
+                                         attrs=dict(n.attrs))
+             for n in graph.nodes}
+    cons = _consumers(graph)
+
+    for n in graph.nodes:
+        node = nodes[n.name]
+        if not _is_pallas_int8_3x3(node):
+            continue
+
+        last, nxt = _follow_transparent(nodes, cons, node.name)
+        if nxt is None:
+            continue
+
+        if nxt.op == "relu":
+            relu = nxt
+            _, after = _follow_transparent(nodes, cons, relu.name)
+            if (after is not None and after.op == "conv"
+                    and after.attrs.get("int8")
+                    and not after.attrs.get("input_quantized")
+                    and after.attrs.get("qcfg") is not None
+                    and after.attrs["qcfg"].q_act
+                    # the Pallas 1x1 matmuls quantize internally and have
+                    # no code-input variant; restrict to the 3^3 kernel and
+                    # the XLA int8 conv
+                    and (not after.attrs.get("pallas")
+                         or after.attrs.get("kernel_size") == (3, 3, 3))):
+                node.attrs["epilogue_quant_for"] = after.name
+                node.attrs["epilogue_qlvl"] = after.attrs["qcfg"].qlvl_act
+                nodes[after.name].attrs["input_quantized"] = True
+                nodes[relu.name] = dataclasses.replace(
+                    nodes[relu.name], op="identity")
+            continue
+
+        if nxt.op == "add" and len(nxt.inputs) == 2 and last in nxt.inputs:
+            other = [i for i in nxt.inputs if i != last]
+            if len(other) != 1:  # add(x, x) — not a residual pattern
+                continue
+            order = {m.name: i for i, m in enumerate(graph.nodes)}
+            if order.get(other[0], 1 << 30) > order[node.name]:
+                continue  # operand not available before the conv
+            node.attrs["residual"] = True
+            new_inputs = (*node.inputs, other[0])
+            nodes[node.name] = dataclasses.replace(node, inputs=new_inputs)
+            nodes[nxt.name] = dataclasses.replace(
+                nodes[nxt.name], op="identity", inputs=(last,))
+
+    return Graph([nodes[n.name] for n in graph.nodes], list(graph.outputs),
+                 graph.input_name)

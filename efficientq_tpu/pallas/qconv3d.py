@@ -40,30 +40,68 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _qconv3d_kernel(scale_ref, *refs, H, W, dil, taps_hw, tz, out_dtype):
-    """refs = tz + 2*dil int8 plane refs, then w_ref, b_ref, o_ref.
+def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, taps_hw, tz, out_dtype,
+                    has_res, quant_qlvl):
+    """refs = tz + 2*dil int8 plane refs, [res_ref], then w_ref, b_ref,
+    o_ref.
 
     Each program computes ``tz`` output z-planes from tz + 2*dil input
     planes (z-tiling: an input plane is fetched by ~(tz+2dil)/tz programs
-    instead of 3, cutting HBM read amplification)."""
+    instead of 3, cutting HBM read amplification).
+
+    Padding is handled HERE, not by an XLA jnp.pad pass: plane taps arrive
+    UNPADDED with z-clamped index maps, the H/W halo is padded in VMEM,
+    and out-of-range z taps are masked off the accumulator.  The XLA pad
+    was measured at ~1 ms per 64-cube conv (sublane-shift-bound, ~50x the
+    bandwidth cost) — one per int8 conv in the serving graph.
+
+    Epilogues (graph-fused by pallas/epilogue.py so the custom call stops
+    being an XLA fusion barrier):
+      has_res    — residual operand streamed in at the output tiling,
+                   added before the cast (the ResBlock 'add').
+      quant_qlvl — emit the NEXT int8 conv's activation codes directly:
+                   round(clip(y*(n-1)/alpha_next, 0, n-1)) as int8.  The
+                   relu preceding an act-quant folds into the clip-at-0,
+                   so conv->relu->act-quant leaves the kernel as one int8
+                   write (4x less HBM than a f32 write + re-read)."""
     plane_refs = refs[:tz + 2 * dil]
-    w_ref, b_ref, o_ref = refs[tz + 2 * dil:]
+    rest = refs[tz + 2 * dil:]
+    res_ref = rest[0] if has_res else None
+    w_ref, b_ref, o_ref = rest[1 if has_res else 0:]
     scale = scale_ref[0]
+    zi = pl.program_id(1)
+    # H/W halo in VMEM, once per fetched plane (shared by its (z, kd) uses)
+    padded = [jnp.pad(p[0, 0], ((dil, dil), (dil, dil), (0, 0)))
+              for p in plane_refs]
     for z in range(tz):
         acc = None
         for kd in range(3):
-            qa = plane_refs[z + kd * dil][0, 0]  # (Hp, Wp, C) int8
+            qa = padded[z + kd * dil]  # (Hp, Wp, C) int8
             cols = jnp.concatenate(
                 [qa[kh * dil:kh * dil + H, kw * dil:kw * dil + W, :]
                  .reshape(H * W, -1) for kh, kw in taps_hw], axis=1)
             part = jnp.dot(cols, w_ref[kd], preferred_element_type=jnp.int32)
+            # zero the contribution when this tap's z-plane is out of range
+            # (the index map clamped it to a valid plane)
+            z_in = zi * tz + z + (kd - 1) * dil
+            part = jnp.where((z_in >= 0) & (z_in <= D - 1), part, 0)
             acc = part if acc is None else acc + part
-        o_ref[0, z] = (acc.astype(jnp.float32) * scale
-                       + b_ref[:]).reshape(H, W, -1).astype(out_dtype)
+        y = (acc.astype(jnp.float32) * scale + b_ref[:]).reshape(H, W, -1)
+        if has_res:
+            y = y + res_ref[0, z].astype(jnp.float32)
+        if quant_qlvl:
+            # same op sequence as the XLA act-quant (divide, clip, scale,
+            # round) so a f32 producer is bit-exact with the unfused path;
+            # scale_ref[1] = the consumer's alpha_act
+            q = jnp.clip(y / scale_ref[1], 0.0, 1.0) * (quant_qlvl - 1)
+            o_ref[0, z] = jnp.round(q).astype(jnp.int8)
+        else:
+            o_ref[0, z] = y.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("qlvl_act", "dilation",
-                                             "interpret", "out_dtype"))
+                                             "interpret", "out_dtype",
+                                             "quant_qlvl", "x_quantized"))
 def qconv3x3_int8_ndhwc(
     x: jax.Array,
     w_codes: jax.Array,
@@ -74,12 +112,29 @@ def qconv3x3_int8_ndhwc(
     dilation: int = 1,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    residual: Optional[jax.Array] = None,
+    quant_alpha=None,
+    quant_qlvl: int = 0,
+    x_quantized: bool = False,
 ) -> jax.Array:
     """y = conv3d(int8_codes(x), w_codes) * scale + bias, stride 1,
     padding = dilation ('same'), one fused Pallas program per output plane.
 
     x: (N, D, H, W, C) float32; w_codes: (3, 3, 3, C, O) int8 (DHWIO codes
     from ptq/deploy.py); scale = alpha_act*alpha_w/((na-1)(nw-1)).
+
+    Fused epilogues (see pallas/epilogue.py):
+      residual               — (N, D, H, W, O) operand added to y in VMEM
+      quant_alpha/quant_qlvl — emit relu+act-quant int8 codes for the next
+                               conv (output dtype int8); quant_alpha is its
+                               alpha_act
+      x_quantized            — x already holds int8 codes (the producer
+                               emitted them); skip the XLA act-quant
+
+    A fused-lane (H, W*C) layout variant was tried for the low-C stages
+    (it would remove the C->128 lane padding): Mosaic cannot lower its
+    (H, W*C)->(H*W, C) shape cast (lane-dim change), so the layout is a
+    dead end as of this toolchain — don't re-attempt without checking.
     """
     n, d, h, w_sp, c = x.shape
     kd, kh, kw, c2, o = w_codes.shape
@@ -88,55 +143,89 @@ def qconv3x3_int8_ndhwc(
     if bias is None:
         bias = jnp.zeros((o,), jnp.float32)
 
-    # act-quant in XLA (fuses, with the padding, into one pass over the
-    # producing op's output); int8 thereafter
-    qa = jnp.round(jnp.clip(x / alpha_act, 0.0, 1.0)
-                   * (qlvl_act - 1)).astype(jnp.int8)
-    qp = jnp.pad(qa, ((0, 0), (dil, dil), (dil, dil), (dil, dil), (0, 0)))
+    if x_quantized:
+        qa = x  # int8 codes from the producer's fused epilogue
+    else:
+        # act-quant in XLA (fuses into one pass over the producing op's
+        # output); int8 thereafter.  NO jnp.pad here — the kernel pads in
+        # VMEM (see _qconv3d_kernel docstring).
+        qa = jnp.round(jnp.clip(x / alpha_act, 0.0, 1.0)
+                       * (qlvl_act - 1)).astype(jnp.int8)
     taps_hw = tuple((i, j) for i in range(3) for j in range(3))
     # per-kd im2col weight layout: (kh, kw, C) rows, matching the kernel's
     # kh-major/kw-minor concat of C-column slices
     w_mat = w_codes.reshape(3, 9 * c, o)
     bias2d = bias.reshape(1, o)
-    scale1 = jnp.reshape(jnp.asarray(scale, jnp.float32), (1,))
+    # scale vector in SMEM: [epilogue scale, alpha_next]
+    qalpha = (jnp.asarray(quant_alpha, jnp.float32) if quant_qlvl
+              else jnp.float32(1.0))
+    scale1 = jnp.stack([jnp.asarray(scale, jnp.float32).reshape(()),
+                        qalpha.reshape(())])
     hp, wp = h + 2 * dil, w_sp + 2 * dil
+    out_bytes = 1 if quant_qlvl else jnp.dtype(out_dtype).itemsize
+    res_bytes = jnp.dtype(residual.dtype).itemsize if residual is not None else 0
 
     # z-tile: TZ output planes per program, bounded by a VMEM budget that
     # accounts for the 128-lane channel padding (C=32 tiles pad 4x)
     def _pad128(v):
         return -(-v // 128) * 128
 
+    def est_vmem(t, rb):
+        return ((t + 2 * dil) * h * w_sp * _pad128(c) * 2  # raw planes x2
+                + (t + 2 * dil) * hp * wp * _pad128(c)     # padded copies
+                + t * h * w_sp * _pad128(o) * out_bytes * 2  # out x2
+                + t * h * w_sp * _pad128(o) * rb * 2         # residual x2
+                + h * w_sp * _pad128(9 * c)                  # im2col block
+                + h * w_sp * _pad128(o) * 4)                 # i32 accumulator
+
     tz = 1
     if h * w_sp >= 1024:  # tiny planes: per-z overhead beats the read saving
         for t in (8, 4, 2):
-            vmem = ((t + 2 * dil) * hp * wp * _pad128(c) * 2  # int8 planes x2
-                    + t * h * w_sp * _pad128(o) * 4 * 2       # f32 out x2
-                    + h * w_sp * _pad128(9 * c)               # im2col block
-                    + h * w_sp * _pad128(o) * 4)              # i32 accumulator
-            if d % t == 0 and vmem < 9 * 1024 * 1024:
+            if d % t == 0 and est_vmem(t, res_bytes) < 9 * 1024 * 1024:
                 tz = t
                 break
 
-    kernel = functools.partial(_qconv3d_kernel, H=h, W=w_sp, dil=dil,
-                               taps_hw=taps_hw, tz=tz, out_dtype=out_dtype)
+    if residual is not None and est_vmem(tz, res_bytes) > 12 * 1024 * 1024:
+        # residual block doesn't fit VMEM at this geometry (e.g. 64^3
+        # planes with an f32 operand): run the kernel without it and let
+        # XLA do the add — one extra elementwise pass, still correct
+        assert not quant_qlvl, "residual+quant epilogues are never combined"
+        y = qconv3x3_int8_ndhwc(
+            x, w_codes, bias, alpha_act, scale, qlvl_act, dilation=dilation,
+            interpret=interpret, out_dtype=out_dtype,
+            x_quantized=x_quantized)
+        return y + residual.astype(y.dtype)
+
+    kernel = functools.partial(_qconv3d_kernel, H=h, W=w_sp, D=d, dil=dil,
+                               taps_hw=taps_hw, tz=tz, out_dtype=out_dtype,
+                               has_res=residual is not None,
+                               quant_qlvl=quant_qlvl)
+    # z taps clamped into range; the kernel masks the out-of-range ones
     plane_spec = [
-        pl.BlockSpec((1, 1, hp, wp, c),
-                     lambda ni, zi, _k=k: (ni, zi * tz + _k, 0, 0, 0))
+        pl.BlockSpec((1, 1, h, w_sp, c),
+                     lambda ni, zi, _k=k: (ni, jnp.clip(zi * tz + _k - dil,
+                                                        0, d - 1), 0, 0, 0))
         for k in range(tz + 2 * dil)
     ]
+    res_spec = ([pl.BlockSpec((1, tz, h, w_sp, o),
+                              lambda ni, zi: (ni, zi, 0, 0, 0))]
+                if residual is not None else [])
+    res_arg = [residual] if residual is not None else []
     out = pl.pallas_call(
         kernel,
         grid=(n, d // tz),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM) if _HAS_PLTPU and not interpret
-            else pl.BlockSpec((1,), lambda ni, zi: (0,)),
+            else pl.BlockSpec((2,), lambda ni, zi: (0,)),
             *plane_spec,
+            *res_spec,
             pl.BlockSpec((3, 9 * c, o), lambda ni, zi: (0, 0, 0)),
             pl.BlockSpec((1, o), lambda ni, zi: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tz, h, w_sp, o),
                                lambda ni, zi: (ni, zi, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, w_sp, o), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, d, h, w_sp, o), jnp.int8 if quant_qlvl else out_dtype),
         interpret=interpret,
-    )(scale1, *([qp] * (tz + 2 * dil)), w_mat, bias2d)
+    )(scale1, *([qa] * (tz + 2 * dil)), *res_arg, w_mat, bias2d)
     return out

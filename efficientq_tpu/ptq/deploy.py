@@ -33,7 +33,8 @@ def eligible(qcfg) -> bool:
 
 def to_int8_inference(graph: Graph, variables, pallas: bool = None,
                       only_kernel_sizes=None,
-                      node_filter=None) -> Tuple[Graph, Dict]:
+                      node_filter=None,
+                      fuse_epilogues: bool = True) -> Tuple[Graph, Dict]:
     """Returns (graph', variables') with eligible qconvs converted to int8
     codes + scale epilogue.  Input variables must hold post-PTQ quantized
     kernels (values = alpha_w * grid).
@@ -85,4 +86,11 @@ def to_int8_inference(graph: Graph, variables, pallas: bool = None,
         from ..pallas.qmatmul import to_pallas_inference
 
         out_graph = to_pallas_inference(out_graph)
+        if fuse_epilogues:
+            # fold the surrounding relu / residual-add / next act-quant
+            # into the Pallas kernels so the custom calls stop being XLA
+            # fusion barriers (pallas/epilogue.py)
+            from ..pallas.epilogue import fuse_int8_epilogues
+
+            out_graph = fuse_int8_epilogues(out_graph)
     return out_graph, {"params": params, "state": variables.get("state", {})}

@@ -152,3 +152,67 @@ def test_qconv3x3_int8_matches_xla_int_conv():
                                   interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_qconv3x3_epilogues_match_oracles():
+    """Kernel-level residual / relu+act-quant epilogues vs explicit math."""
+    from efficientq_tpu.pallas.qconv3d import qconv3x3_int8_ndhwc
+
+    rng = np.random.RandomState(7)
+    n, d, h, w, c, o = 1, 4, 6, 6, 5, 5
+    x = jnp.asarray(np.abs(rng.randn(n, d, h, w, c)).astype(np.float32))
+    codes = jnp.asarray(
+        rng.randint(-3, 4, size=(3, 3, 3, c, o)).astype(np.int8))
+    b = jnp.asarray(rng.randn(o).astype(np.float32))
+    na, alpha, scale = 4, 0.9, 0.37
+    base = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na, interpret=True)
+
+    # residual epilogue
+    res = jnp.asarray(rng.randn(n, d, h, w, o).astype(np.float32))
+    got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na, interpret=True,
+                              residual=res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base + res),
+                               atol=1e-5, rtol=1e-5)
+
+    # relu + next act-quant epilogue: int8 codes of the downstream conv
+    a2, na2 = 1.7, 8
+    ref = np.round(np.clip(np.asarray(base) / a2, 0, 1) * (na2 - 1))
+    got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na, interpret=True,
+                              quant_alpha=a2, quant_qlvl=na2)
+    assert got.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got), ref.astype(np.int8))
+
+    # pre-quantized input: skip the XLA act-quant, same result
+    qa = jnp.round(jnp.clip(x / alpha, 0, 1) * (na - 1)).astype(jnp.int8)
+    got = qconv3x3_int8_ndhwc(qa, codes, b, alpha, scale, na, interpret=True,
+                              x_quantized=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_epilogue_fusion_graph_parity():
+    """fuse_int8_epilogues: structural rewrites + bit-exact whole-net
+    output vs the unfused int8 deploy graph (f32, interpret mode)."""
+    from efficientq_tpu import nnir
+    from efficientq_tpu.ptq.deploy import to_int8_inference
+
+    fg, fv = _tiny_q_model()
+    ig, iv = to_int8_inference(fg, fv, pallas=True, fuse_epilogues=False)
+    igf, ivf = to_int8_inference(fg, fv, pallas=True, fuse_epilogues=True)
+
+    nquant = sum(1 for n in igf.nodes if n.attrs.get("epilogue_quant_for"))
+    nres = sum(1 for n in igf.nodes if n.attrs.get("residual"))
+    ninq = sum(1 for n in igf.nodes if n.attrs.get("input_quantized"))
+    assert nquant >= 1 and nres >= 1 and ninq == nquant
+    # every fused residual conv gained its operand as a second input
+    for node in igf.nodes:
+        if node.attrs.get("residual"):
+            assert len(node.inputs) == 2
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 2).astype(np.float32))
+    ref = nnir.apply(ig, iv, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    got = nnir.apply(igf, ivf, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
