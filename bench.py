@@ -133,6 +133,34 @@ def main():
     headline_variant = max(sync_variants, key=sync_variants.get)
     tpu_volumes_per_sec = sync_variants[headline_variant]
 
+    # FLOP accounting for MFU/roofline (VERDICT r2 item 9): conv MACs of
+    # the whole 18-patch volume forward, from statically evaluated shapes
+    def graph_flops(g, batch, spatial):
+        conv_names = [n.name for n in g.conv_nodes()]
+        shapes = jax.eval_shape(
+            lambda xx: nnir.apply(g, fvars, xx, mode="fp",
+                                  capture=conv_names)[1],
+            jax.ShapeDtypeStruct((batch, *spatial, 4), jnp.float32))
+        total = 0
+        for n in g.conv_nodes():
+            a = n.attrs
+            out_sh = shapes[n.name].shape  # (N, D, H, W, O)
+            k = int(np.prod(a["kernel_size"]))
+            total += (2 * int(np.prod(out_sh[:4])) * a["out_ch"]
+                      * a["in_ch"] // a["groups"] * k)
+        return total
+
+    flops_volume = graph_flops(fgraph, 18, patch)
+    # v5e peak: 197 TFLOP/s bf16, 394 TOP/s int8 (public spec); MFU is
+    # reported against the bf16 peak for every variant — the int8 variants'
+    # headroom to the 2x int8 peak is part of the story
+    PEAK_BF16 = 197e12
+    mfu = {
+        "bf16_async": flops_volume * async_vps / PEAK_BF16,
+        "int8_pallas_async": flops_volume * int8_async_vps / PEAK_BF16,
+        "mixed_int8_3x3_async": flops_volume * mixed_async_vps / PEAK_BF16,
+    }
+
     # torch CPU FP32 baseline: one 128^3 patch through the same graph,
     # extrapolated to the 18-patch volume (a full CPU volume would take
     # ~10 min; stitching cost is negligible next to the convs)
@@ -149,6 +177,8 @@ def main():
         "unit": "volumes/sec",
         "vs_baseline": round(tpu_volumes_per_sec / cpu_volumes_per_sec, 2),
         "headline_variant": headline_variant,
+        "conv_tflops_per_volume": round(flops_volume / 1e12, 3),
+        "mfu_vs_bf16_peak": {k: round(v, 4) for k, v in mfu.items()},
         "variants": {
             "bf16_sync": round(sync_vps, 4),
             "bf16_async": round(async_vps, 4),
