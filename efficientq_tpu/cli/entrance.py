@@ -121,6 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--true_test", action="store_true",
                         help="label-free inference + NIfTI export on the "
                              "true-test split after the final tests")
+    parser.add_argument("--patch_batch", type=int, default=0,
+                        help="patches per eval forward; 0 = measured "
+                             "auto-tune per geometry (eval/autotune.py)")
     # TPU-native extension (not in the reference flag surface): checkpoint
     # backend — 'pickle' is the reference-parity default, 'orbax' writes
     # directory-based multi-host-safe checkpoints (utils/checkpoint.py)

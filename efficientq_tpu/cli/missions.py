@@ -21,8 +21,29 @@ from ..train import Trainer
 from . import definer
 
 
+def _make_dp_mesh(args, check_batch: bool = False):
+    """Build the 1-D data mesh for --dp_devices (0 = off, -1 = all)."""
+    dp = getattr(args, "dp_devices", 0) or 0
+    if not dp:
+        return None
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    n = len(devs) if dp < 0 else dp
+    # user-input checks: real exceptions, not asserts (advisor r2 —
+    # asserts vanish under python -O and surface as sharding errors)
+    if n > len(devs):
+        raise ValueError(f"--dp_devices {n} > {len(devs)} devices")
+    if check_batch and args.batch_size % n != 0:
+        raise ValueError(
+            f"batch_size {args.batch_size} not divisible by {n} devices")
+    mesh = Mesh(np.array(devs[:n]), ("data",))
+    print(f"Data-parallel over {n} devices: {mesh}")
+    return mesh
+
+
 def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
-                mode="fp"):
+                mode="fp", mesh=None):
     """validate_final + optional inference_final equivalent: per-split
     metric files, then label-free true-test export (trainer.py:253-307)."""
     os.makedirs(save_dir, exist_ok=True)
@@ -35,7 +56,9 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
         sm = validate_seg(graph, variables, loader, sns, num_mo, n_class,
                           patch_size=hub.slide_patch_size,
                           overlap=hub.slide_overlap, mode=mode,
-                          save_dir=nii_dir, is_cc=is_cc,
+                          patch_batch=getattr(args, "patch_batch", 0)
+                          or "auto",
+                          save_dir=nii_dir, is_cc=is_cc, mesh=mesh,
                           sn_fn_dict=hub.sn_to_fn_map,
                           restore_shape_func=hub.restore_shape_func,
                           restore_infokw=hub.restore_infokw,
@@ -95,23 +118,7 @@ def train_fp(args):
             "round" + str(args.round), P.basename(snap_root)))
     except Exception:
         pass
-    mesh = None
-    dp = getattr(args, "dp_devices", 0) or 0
-    if dp:
-        import numpy as np
-        from jax.sharding import Mesh
-
-        devs = jax.devices()
-        n = len(devs) if dp < 0 else dp
-        # user-input checks: real exceptions, not asserts (advisor r2 —
-        # asserts vanish under python -O and surface as sharding errors)
-        if n > len(devs):
-            raise ValueError(f"--dp_devices {n} > {len(devs)} devices")
-        if args.batch_size % n != 0:
-            raise ValueError(
-                f"batch_size {args.batch_size} not divisible by {n} devices")
-        mesh = Mesh(np.array(devs[:n]), ("data",))
-        print(f"Data-parallel over {n} devices: {mesh}")
+    mesh = _make_dp_mesh(args, check_batch=True)
 
     trainer = Trainer(
         graph, variables, hub, loss_name=args.loss, num_mo=n_mo, mesh=mesh,
@@ -203,18 +210,23 @@ def ptq(args):
     if args.lwq_verbose:
         print("Calibration data shape:", img.shape)
 
+    # multi-chip calibration + eval: Gram accumulation and the patch grid
+    # shard over the mesh (parallel/ptq.py, parallel/mesh.py)
+    mesh = _make_dp_mesh(args)
+
     # optional FP evaluation before quantization (ptqer.py:309-310)
     if args.test_fp:
         from ..ptq import fold_bn
 
         fg, fv = fold_bn(graph, variables)
-        _final_test(fg, fv, hub, n_mo, nClass, P.join(snap_dir, "fp"), args)
+        _final_test(fg, fv, hub, n_mo, nClass, P.join(snap_dir, "fp"), args,
+                    mesh=mesh)
 
     hp = definer.get_lwq_hyperparams(args)
     fgraph, qvars, report = run_ptq(
         graph, variables, calib_x, task=args.task,
         init_stride=definer.parse_triple(args.init_stride), hp=hp,
-        verbose=args.lwq_verbose)
+        verbose=args.lwq_verbose, mesh=mesh)
 
     if getattr(args, "tune_act", 0):
         # joint alpha_act refinement on the calibration volume
@@ -271,7 +283,7 @@ def ptq(args):
 
     if not args.no_test:
         _final_test(fgraph, qvars, hub, n_mo, nClass, P.join(snap_dir, "ptq"),
-                    args, mode="quantized")
+                    args, mode="quantized", mesh=mesh)
 
     _save_quantized(fgraph, qvars, snap_dir)
     return snap_dir

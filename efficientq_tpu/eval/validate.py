@@ -38,22 +38,43 @@ def validate_seg(
     restore_infokw=None,
     merge_label_func=None,
     multilabel_fusetype=None,
-    patch_batch: int = 2,
+    patch_batch="auto",
     precision=None,
+    mesh=None,
 ) -> List[SegMetricMC]:
     """Evaluate on a loader of (N, C, D, H, W) numpy batches.
 
     Returns one SegMetricMC per head (index -1 = final output), like
-    validate_seg at src/utils/validate.py:212-264.
+    validate_seg at src/utils/validate.py:212-264.  With ``mesh`` the
+    patch grid of each volume shards across the device mesh
+    (parallel/mesh.py::shard_patch_inference).  ``patch_batch='auto'``
+    measures the best patch chunking once per workload signature on TPU
+    (eval/autotune.py) and uses 2 elsewhere.
     """
     sm = [SegMetricMC(n_class, sn_list, is_cc=is_cc) for _ in range(num_mo)]
-    infer = make_jitted_volume_inferencer(graph, patch_batch=patch_batch,
-                                          mode=mode, precision=precision)
+    if mesh is not None:
+        from ..parallel.mesh import shard_patch_inference
+
+        def infer(variables, x, patch, ov):
+            return shard_patch_inference(graph, mesh, variables, x, patch,
+                                         ov, mode=mode, precision=precision)
+    else:
+        infer = None  # created on the first volume (auto-tuning needs one)
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
     sn_counter = -1
     for images, masks in iter(loader):
         x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
+        if infer is None:
+            pb = patch_batch
+            if pb == "auto":
+                from .autotune import choose_patch_batch
+
+                pb = choose_patch_batch(graph, variables, x, patch_size,
+                                        overlap, mode=mode,
+                                        precision=precision)
+            infer = make_jitted_volume_inferencer(
+                graph, patch_batch=pb, mode=mode, precision=precision)
         preds = infer(variables, x, tuple(ops.triple(patch_size)),
                       tuple(ops.triple(overlap)))
         preds = np.asarray(preds)  # (M, N, D, H, W, C)
@@ -97,17 +118,25 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
               overlap, sn_fn_dict=None, suffix="_seg", mode="fp",
               restore_shape_func=None, restore_infokw=None,
               merge_label_func=None, multilabel_fusetype=None,
-              patch_batch: int = 2):
+              patch_batch="auto"):
     """Label-free inference + NIfTI export (validate.py:266-303)."""
     if not save_dir:
         print("No save directory specified for final true test inference!")
         return
     os.makedirs(save_dir, exist_ok=True)
-    infer = make_jitted_volume_inferencer(graph, patch_batch=patch_batch,
-                                          mode=mode)
+    infer = None
     sn_counter = -1
     for images, _ in iter(loader):
         x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
+        if infer is None:
+            pb = patch_batch
+            if pb == "auto":
+                from .autotune import choose_patch_batch
+
+                pb = choose_patch_batch(graph, variables, x, patch_size,
+                                        overlap, mode=mode)
+            infer = make_jitted_volume_inferencer(graph, patch_batch=pb,
+                                                  mode=mode)
         preds = np.asarray(infer(variables, x, tuple(ops.triple(patch_size)),
                                  tuple(ops.triple(overlap))))
         for j in range(preds.shape[1]):

@@ -77,3 +77,26 @@ def test_jitted_inference_under_jit():
                                                     (4, 4, 4), 4))
     out = f(x)
     np.testing.assert_allclose(np.asarray(out[0]), 2 * np.asarray(x), atol=1e-5)
+
+
+def test_choose_patch_batch_cpu_default_and_cache(tmp_path, monkeypatch):
+    """Off-TPU the autotuner returns the safe default without measuring;
+    the disk cache round-trips."""
+    import efficientq_tpu.eval.autotune as at
+    from efficientq_tpu import nnir
+    from efficientq_tpu.models import UResQConfig, build_uresq
+
+    monkeypatch.setattr(at, "_DISK_CACHE", str(tmp_path / "tune.json"))
+    cfg = UResQConfig(num_mod=1, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[4, 8, 4], dilation_config=[1, 1, 1],
+                      init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid",
+                      ds=None)
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+    pb = at.choose_patch_batch(graph, variables, x, (8, 8, 8), (2, 2, 2),
+                               default=3)
+    assert pb == 3  # CPU backend: no sweep, default returned
+    # cache write/read path (exercise _save_disk/_load_disk directly)
+    at._save_disk({"k": 7})
+    assert at._load_disk() == {"k": 7}
