@@ -64,6 +64,13 @@ def sharded_gram_stats(
     in_d = (k - 1) * sD + (kD - 1) * lD + 1   # input rows per device's chunk
     own = k * sD                              # rows owned by each device
     halo = max(0, in_d - own)                 # rows borrowed from neighbor
+    if halo > own:
+        # a device would need rows from >1 neighbor (volume too shallow for
+        # this mesh: own < halo).  One ppermute can't deliver that, and a
+        # volume this small has nothing to gain from sharding — build the
+        # Grams on one device.
+        return compute_gram_stats(x, y, att, ksize, stride, padding,
+                                  dilation, has_bias=has_bias)
 
     # host-side (NumPy) padding so device_put moves each shard directly to
     # its device — the full padded volume never lands on a single chip
@@ -123,3 +130,48 @@ def sharded_gram_stats(
         jax.device_put(tail_halo, NamedSharding(mesh, P())))
     return GramStats(A_a, B_a, A_u, B_u, yy_a, yy_u, has_bias,
                      int(np.prod(y.shape)))
+
+
+def calibrate_layer_sharded(
+    mesh: Mesh,
+    x: jax.Array,
+    y_fp: jax.Array,
+    kernel: jax.Array,
+    bias,
+    att,
+    *,
+    ksize,
+    stride,
+    padding,
+    dilation,
+    qlvl_w: int,
+    has_bias: bool,
+    hp,
+    qlvl_act=None,
+    axis_name: str = "data",
+):
+    """Mesh-parallel variant of ``ptq.admm.calibrate_layer``: the Gram
+    statistics accumulate across the mesh (one psum over ICI), then the
+    same ADMM runs on the merged stats.  Same return contract.
+
+    The per-layer ADMM itself is O(c1k^2) on small matrices and stays
+    single-program; the device-memory-bound part of calibration — im2col +
+    Gram accumulation over the calibration volume — is what scales
+    (src/models/solver.py:282-314 is the loop being spread out)."""
+    from ..ptq.admm import calibrate_from_stats
+    from ..quant import project_by_iter
+
+    alpha_act = None
+    if qlvl_act is not None:
+        a_act, b_act = jax.jit(project_by_iter,
+                               static_argnums=(1,))(x, qlvl_act, 0.0, 1.0)
+        alpha_act = a_act
+        x = a_act * b_act
+    stats = sharded_gram_stats(mesh, x, y_fp, att, ksize, stride, padding,
+                               dilation, has_bias=has_bias,
+                               axis_name=axis_name)
+    res = calibrate_from_stats(stats, x, y_fp, kernel, bias, att,
+                               ksize=ksize, stride=stride, padding=padding,
+                               dilation=dilation, qlvl_w=qlvl_w,
+                               has_bias=has_bias, hp=hp)
+    return {**res, "alpha_act": alpha_act}

@@ -160,6 +160,89 @@ def admm_quantize(
 
 
 @partial(jax.jit, static_argnames=("ksize", "stride", "padding", "dilation",
+                                   "qlvl_w", "has_bias", "hp"))
+def calibrate_from_stats(
+    stats,
+    x_q: jax.Array,
+    y_fp: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    att: Optional[jax.Array],
+    *,
+    ksize,
+    stride,
+    padding,
+    dilation,
+    qlvl_w: int,
+    has_bias: bool,
+    hp: PTQHyperParams,
+):
+    """ADMM calibration given precomputed GramStats.
+
+    Factored out of ``calibrate_layer`` so the mesh-sharded path
+    (parallel/ptq.py::calibrate_layer_sharded) can build the Grams across
+    devices and run the same single-device ADMM on the merged statistics.
+    """
+    # stats crosses the jit boundary as a pytree, which traces its
+    # ``has_bias`` flag — restore the static value (it gates Python-level
+    # branches in the solver)
+    stats = stats._replace(has_bias=has_bias)
+    w_flat0 = kernel_to_flat(kernel)
+
+    # rho scaling (EfficientQConv.py:44-61)
+    y_std = jnp.std(y_fp, ddof=1)
+    w_std = jnp.std(w_flat0, ddof=1)
+    rho_scale = jnp.maximum(
+        (y_fp.size * y_std) / (w_flat0.size * w_std), 1.0)
+    if att is not None:
+        rho_scale = rho_scale * jnp.mean(att)
+
+    # per-iterate loss: for small spatial extents the direct convolution is
+    # both cheaper than the c1k^2 quadratic form and free of its f32
+    # cancellation (the reference always uses the conv,
+    # EfficientQConv.py:118-121)
+    S = int(np.prod(y_fp.shape[:-1]))
+    c1k = w_flat0.shape[1]
+    loss_fn = None
+    if 2 * S < c1k:
+        from .. import ops
+
+        def loss_fn(Gw, b):
+            k = flat_to_kernel(Gw, kernel.shape)
+            out = ops.conv3d(x_q, k, b if has_bias else None, stride, padding,
+                             dilation, precision=jax.lax.Precision.HIGHEST)
+            return jnp.mean((out - y_fp) ** 2)
+
+    bestG, bestB, alpha_w, best_loss, history = admm_quantize(
+        w_flat0, bias, stats, qlvl_w, rho_scale, hp, loss_fn=loss_fn)
+
+    W_ext = (jnp.concatenate([bestG, bestB[:, None]], axis=1)
+             if has_bias else bestG)
+    final_unw = quadratic_mse(stats, W_ext, weighted=False)
+    final_att = quadratic_mse(stats, W_ext, weighted=True)
+
+    # the layer's quantized-forward output, fused into this program so the
+    # calibration sweep needs no separate conv compilation per layer
+    kernel_q = flat_to_kernel(bestG, kernel.shape)
+    from .. import ops
+
+    out_q = ops.conv3d(x_q, kernel_q, bestB if has_bias else None, stride,
+                       padding, dilation, precision=jax.lax.Precision.HIGHEST)
+
+    return {
+        "kernel": kernel_q,
+        "bias": bestB if has_bias else None,
+        "alpha_w": alpha_w,
+        "alpha_act": None,
+        "best_loss": best_loss,
+        "loss_unweighted": final_unw,
+        "loss_reported": final_att if att is not None else final_unw,
+        "out_q": out_q,
+        "history": history,
+    }
+
+
+@partial(jax.jit, static_argnames=("ksize", "stride", "padding", "dilation",
                                    "qlvl_w", "qlvl_act", "has_bias", "hp"))
 def calibrate_layer(
     x_q: jax.Array,
@@ -198,59 +281,10 @@ def calibrate_layer(
         alpha_act = a_act
         x_q = a_act * b_act
 
-    w_flat0 = kernel_to_flat(kernel)
-
-    # rho scaling (EfficientQConv.py:44-61)
-    y_std = jnp.std(y_fp, ddof=1)
-    w_std = jnp.std(w_flat0, ddof=1)
-    rho_scale = jnp.maximum(
-        (y_fp.size * y_std) / (w_flat0.size * w_std), 1.0)
-    if att is not None:
-        rho_scale = rho_scale * jnp.mean(att)
-
     stats = compute_gram_stats(x_q, y_fp, att, ksize, stride, padding,
                                dilation, has_bias=has_bias)
-
-    # per-iterate loss: for small spatial extents the direct convolution is
-    # both cheaper than the c1k^2 quadratic form and free of its f32
-    # cancellation (the reference always uses the conv,
-    # EfficientQConv.py:118-121)
-    S = int(np.prod(y_fp.shape[:-1]))
-    c1k = w_flat0.shape[1]
-    loss_fn = None
-    if 2 * S < c1k:
-        from .. import ops
-
-        def loss_fn(Gw, b):
-            k = flat_to_kernel(Gw, kernel.shape)
-            out = ops.conv3d(x_q, k, b if has_bias else None, stride, padding,
-                             dilation, precision=jax.lax.Precision.HIGHEST)
-            return jnp.mean((out - y_fp) ** 2)
-
-    bestG, bestB, alpha_w, best_loss, history = admm_quantize(
-        w_flat0, bias, stats, qlvl_w, rho_scale, hp, loss_fn=loss_fn)
-
-    W_ext = (jnp.concatenate([bestG, bestB[:, None]], axis=1)
-             if has_bias else bestG)
-    final_unw = quadratic_mse(stats, W_ext, weighted=False)
-    final_att = quadratic_mse(stats, W_ext, weighted=True)
-
-    # the layer's quantized-forward output, fused into this program so the
-    # calibration sweep needs no separate conv compilation per layer
-    kernel_q = flat_to_kernel(bestG, kernel.shape)
-    from .. import ops
-
-    out_q = ops.conv3d(x_q, kernel_q, bestB if has_bias else None, stride,
-                       padding, dilation, precision=jax.lax.Precision.HIGHEST)
-
-    return {
-        "kernel": kernel_q,
-        "bias": bestB if has_bias else None,
-        "alpha_w": alpha_w,
-        "alpha_act": alpha_act,
-        "best_loss": best_loss,
-        "loss_unweighted": final_unw,
-        "loss_reported": final_att if att is not None else final_unw,
-        "out_q": out_q,
-        "history": history,
-    }
+    res = calibrate_from_stats(stats, x_q, y_fp, kernel, bias, att,
+                               ksize=ksize, stride=stride, padding=padding,
+                               dilation=dilation, qlvl_w=qlvl_w,
+                               has_bias=has_bias, hp=hp)
+    return {**res, "alpha_act": alpha_act}

@@ -62,6 +62,81 @@ class PTQReport:
         return f"{total / 60:.3f} min."
 
 
+def _layer_kw(node, qcfg, p, hp):
+    """The static calibrate_layer kwargs for one qconv — shared by the
+    sweep and the AOT precompiler so their program signatures agree."""
+    return dict(ksize=node.attrs["kernel_size"], stride=node.attrs["stride"],
+                padding=node.attrs["padding"],
+                dilation=node.attrs["dilation"], qlvl_w=qcfg.qlvl_w,
+                has_bias="bias" in p, hp=hp,
+                qlvl_act=qcfg.qlvl_act if qcfg.q_act else None)
+
+
+def _precompile_layer_programs(graph, params, calib_x, captured, pyramid,
+                               hp, verbose):
+    """AOT-compile every distinct per-layer calibration program in a
+    thread pool.  Returns {node_name: compiled}.  Shapes come from the FP
+    capture (quantization is shape-preserving), so no device work happens
+    here beyond the compiles themselves."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sds = jax.ShapeDtypeStruct
+    shapes = {graph.input_name: sds(calib_x.shape, calib_x.dtype)}
+    for name, v in captured.items():
+        shapes[name] = sds(v.shape, v.dtype)
+    # predecessors of qconvs that are not themselves captured: infer the
+    # whole graph's shapes abstractly in one pass
+    need = {src for n in graph.qconv_nodes() for src in n.inputs}
+    missing = [n for n in need if n not in shapes]
+    if missing:
+        abstract = jax.eval_shape(
+            lambda x: nnir.apply(graph, {"params": params, "state": {}},
+                                 x, mode="fp", capture=missing)[1],
+            sds(calib_x.shape, calib_x.dtype))
+        shapes.update(abstract)
+
+    jobs = {}
+    sig_to_nodes = {}
+    for node in graph.qconv_nodes():
+        qcfg = node.attrs["qcfg"]
+        p = params[node.name]
+        if not qcfg.q_weight or node.inputs[0] not in shapes:
+            continue
+        x_sd = shapes[node.inputs[0]]
+        y_sd = shapes[node.name]
+        att = match_pyramid_level(pyramid, y_sd.shape)
+        kw = _layer_kw(node, qcfg, p, hp)
+        sig = (x_sd.shape, y_sd.shape,
+               None if att is None else tuple(att.shape),
+               tuple(p["kernel"].shape), "bias" in p,
+               tuple(sorted((k, str(v)) for k, v in kw.items())))
+        sig_to_nodes.setdefault(sig, []).append(node.name)
+        if sig not in jobs:
+            k_sd = sds(p["kernel"].shape, p["kernel"].dtype)
+            b_sd = (sds(p["bias"].shape, p["bias"].dtype)
+                    if "bias" in p else None)
+            a_sd = None if att is None else sds(att.shape, att.dtype)
+            jobs[sig] = (x_sd, y_sd, k_sd, b_sd, a_sd, kw)
+
+    def compile_one(item):
+        sig, (x_sd, y_sd, k_sd, b_sd, a_sd, kw) = item
+        try:
+            return sig, calibrate_layer.lower(
+                x_sd, y_sd, k_sd, b_sd, a_sd, **kw).compile()
+        except Exception as e:  # pragma: no cover — fall back to jit path
+            if verbose:
+                print(f"precompile failed for {sig_to_nodes[sig][0]}: {e}")
+            return sig, None
+
+    compiled = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for sig, ex in pool.map(compile_one, jobs.items()):
+            if ex is not None:
+                for name in sig_to_nodes[sig]:
+                    compiled[name] = ex
+    return compiled
+
+
 def run_ptq(
     graph: Graph,
     variables,
@@ -74,6 +149,7 @@ def run_ptq(
     num_mask_lvls: int = 5,
     fold: bool = True,
     verbose: bool = False,
+    mesh=None,
 ):
     """Calibrate every qconv of ``graph`` on one NDHWC calibration batch.
 
@@ -81,6 +157,12 @@ def run_ptq(
     ``nnir.apply(folded_graph, qvars, x, mode='quantized')`` runs quantized
     inference (stored kernels hold quantized values; activations are
     fake-quantized on the fly by alpha_act).
+
+    With ``mesh`` (a jax.sharding.Mesh) the Gram accumulation of every
+    weight-quantized layer is sharded across the mesh's devices
+    (parallel/ptq.py::calibrate_layer_sharded): no device materializes more
+    than its output-depth slab of the im2col, and one psum merges the
+    statistics over ICI.
     """
     if fold:
         graph, variables = fold_bn(graph, variables)
@@ -119,6 +201,23 @@ def run_ptq(
     pyramid = jax.jit(lambda o, b: mask_pyramid(
         o, b, weight_map, init_stride, num_mask_lvls, task))(out_fp,
                                                              body_mask)
+
+    # ---- concurrent program preparation ----
+    # The sweep is sequential (layer i+1's input carries layer i's
+    # quantization error), but every layer's PROGRAM signature is known
+    # up front from the FP shapes.  Compiling/fetching them one-by-one
+    # inside the sweep serializes the dominant warm-run cost on
+    # remote-attached hosts (per-geometry executable fetch, BASELINE.md);
+    # here all distinct per-layer programs are AOT-compiled in a thread
+    # pool first and the sweep calls the compiled executables.
+    precompiled = {}
+    if mesh is None:
+        t_pre = time.time()
+        precompiled = _precompile_layer_programs(
+            graph, params, calib_x, captured, pyramid, hp, verbose)
+        if verbose and precompiled:
+            print(f"precompiled {len(precompiled)} layer programs in "
+                  f"{time.time() - t_pre:.1f}s")
 
     # ---- the calibration sweep ----
     # The nodes BETWEEN calibration targets (relu/pool/add/upsample/BN glue)
@@ -180,15 +279,24 @@ def run_ptq(
                 # activation-scale search, Gram build, ADMM and the layer's
                 # quantized forward are ONE jitted program per layer
                 att = match_pyramid_level(pyramid, y_fp.shape)
-                kw = dict(ksize=node.attrs["kernel_size"],
-                          stride=node.attrs["stride"],
-                          padding=node.attrs["padding"],
-                          dilation=node.attrs["dilation"],
-                          qlvl_w=qcfg.qlvl_w, has_bias="bias" in p, hp=hp,
-                          qlvl_act=qcfg.qlvl_act if qcfg.q_act else None)
+                kw = _layer_kw(node, qcfg, p, hp)
                 try:
-                    res = calibrate_layer(x_in, y_fp, p["kernel"],
-                                          p.get("bias"), att, **kw)
+                    if mesh is not None:
+                        from ..parallel.ptq import calibrate_layer_sharded
+
+                        res = calibrate_layer_sharded(
+                            mesh, x_in, y_fp, p["kernel"], p.get("bias"),
+                            att, **kw)
+                    elif node.name in precompiled:
+                        try:
+                            res = precompiled[node.name](
+                                x_in, y_fp, p["kernel"], p.get("bias"), att)
+                        except Exception:  # signature drift -> jit path
+                            res = calibrate_layer(x_in, y_fp, p["kernel"],
+                                                  p.get("bias"), att, **kw)
+                    else:
+                        res = calibrate_layer(x_in, y_fp, p["kernel"],
+                                              p.get("bias"), att, **kw)
                 except Exception as e:  # accelerator OOM -> host fallback
                     # (the reference's GPU-OOM -> CPU path,
                     # solver.py:259-277, 329-337)

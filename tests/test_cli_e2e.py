@@ -94,3 +94,17 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
     with open(P.join(snap_ptq, "tune_act_loss.txt")) as f:
         tune_losses = [float(v) for v in f.read().split()]
     assert len(tune_losses) == 3 and all(np.isfinite(tune_losses))
+
+    # mesh-parallel PTQ from the CLI: sharded Gram calibration + sharded
+    # patch-grid eval over 2 of the 8 virtual devices
+    snap_dp = main([
+        "ptq", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--pretrain", ckpts[0],
+        "--patch_size", "8,8,8", "--access_type", "npy",
+        "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
+        "--q_first", "256,-1", "--q_last", "256,-1",
+        "--lwq_patchsz", "16,16,16", "--lwq_iter", "5",
+        "--dp_devices", "2", "--suffix", "dp", *TINY_MODEL,
+    ])
+    assert P.isfile(P.join(snap_dp, "layer_loss.txt"))
+    assert P.isfile(P.join(snap_dp, "ptq", "val_seg.txt"))

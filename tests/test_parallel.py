@@ -181,3 +181,59 @@ def test_sharded_gram_stats_valid_padding_tail():
             np.testing.assert_allclose(
                 np.asarray(getattr(sh, f)), np.asarray(getattr(ref, f)),
                 rtol=2e-4, atol=2e-4, err_msg=f)
+
+
+def test_calibrate_layer_sharded_matches_single_device():
+    """Full per-layer calibration through the mesh (sharded Grams + the
+    shared ADMM) matches calibrate_layer at the grid level, including the
+    shallow-volume fallback (own < halo -> single-device Grams)."""
+    from efficientq_tpu import ops
+    from efficientq_tpu.parallel.ptq import calibrate_layer_sharded
+    from efficientq_tpu.ptq.admm import PTQHyperParams, calibrate_layer
+
+    mesh = make_mesh()
+    rng = np.random.RandomState(5)
+    for D in (16, 6):  # D=6: own(1) < halo(2) -> fallback path
+        x = jnp.asarray(np.abs(rng.randn(1, D, 8, 8, 4)).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 3, 4, 6).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.randn(6).astype(np.float32) * 0.05)
+        y = ops.conv3d(x, k, b, (1, 1, 1), (1, 1, 1), (1, 1, 1),
+                       precision=jax.lax.Precision.HIGHEST)
+        att = jnp.asarray(rng.rand(*y.shape[:-1]).astype(np.float32))
+        kw = dict(ksize=(3, 3, 3), stride=(1, 1, 1), padding=(1, 1, 1),
+                  dilation=(1, 1, 1), qlvl_w=4, has_bias=True,
+                  hp=PTQHyperParams(admm_iter=20), qlvl_act=4)
+        r1 = calibrate_layer(x, y, k, b, att, **kw)
+        rs = calibrate_layer_sharded(mesh, x, y, k, b, att, **kw)
+        g1 = np.round(np.asarray(r1["kernel"]) / float(r1["alpha_w"]) * 3)
+        gs = np.round(np.asarray(rs["kernel"]) / float(rs["alpha_w"]) * 3)
+        np.testing.assert_array_equal(gs, g1)
+        assert abs(float(rs["alpha_w"]) - float(r1["alpha_w"])) < 1e-5
+        assert abs(float(rs["alpha_act"]) - float(r1["alpha_act"])) < 1e-5
+
+
+def test_run_ptq_with_mesh_matches_single_device(tmp_path):
+    """run_ptq(mesh=...) end-to-end == single-device at W16A16 (fine
+    enough that iterate/alpha selection has no near-ties to flip)."""
+    from efficientq_tpu.models import UResQConfig, build_uresq
+    from efficientq_tpu.ptq import run_ptq
+    from efficientq_tpu.ptq.admm import PTQHyperParams
+
+    cfg = UResQConfig(num_mod=1, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[4, 8, 4], dilation_config=[1, 1, 1],
+                      init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid",
+                      ds=None, quantize=True, qlvl_w=16, qlvl_act=16,
+                      q_first=(256, -1), q_last=(256, -1))
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(2))
+    rng = np.random.RandomState(0)
+    calib = jnp.asarray(np.abs(rng.randn(1, 16, 16, 16, 1))
+                        .astype(np.float32))
+    hp = PTQHyperParams(admm_iter=10)
+    _, _, r_mesh = run_ptq(graph, variables, calib, task="lits",
+                           init_stride=(2, 2, 2), hp=hp, mesh=make_mesh())
+    _, _, r_1dev = run_ptq(graph, variables, calib, task="lits",
+                           init_stride=(2, 2, 2), hp=hp)
+    np.testing.assert_allclose(np.asarray(r_mesh.output_q),
+                               np.asarray(r_1dev.output_q),
+                               atol=1e-3, rtol=1e-3)
