@@ -120,40 +120,66 @@ def admm_quantize(
         def loss_fn(Gw, b):
             return ranked(ext(Gw, b))
 
-    hist_chunks = []
-    for mult, n_iters, dual_factor in rho_segments(hp):
+    # The rho segments run as ONE two-level scan instead of a Python loop:
+    # a Python loop duplicates the blocked Cholesky/triangular-solve
+    # lowerings per segment, which at c1k ~ 6.9k inflates the TPU
+    # executable to ~150 MB and the compile to ~5 min (measured) — the
+    # dominant cold AND warm cost on remote-attached hosts (warm loads are
+    # upload-bandwidth-bound on executable size).  Segments are padded to
+    # a uniform inner length; padded iterations compute but are masked out
+    # of every carry update, and the history is compacted afterwards with
+    # a static index gather, so active iterations are bit-identical to the
+    # unrolled form.
+    segs = rho_segments(hp)
+    S = len(segs)
+    L = max(n for _, n, _ in segs)
+    mults = jnp.asarray([m for m, _, _ in segs], jnp.float32)
+    dual_factors = jnp.asarray([f for _, _, f in segs], jnp.float32)
+    n_active = jnp.asarray([n for _, n, _ in segs], jnp.int32)
+
+    def outer(carry, xs):
+        mult, dfac, n_act = xs
         rho = mult * rho_scale
         A = make_system(stats, rho, eta, hp.mu)
         chol = jax.scipy.linalg.cho_factor(A)
 
-        def body(carry, _, rho=rho, chol=chol):
-            G, dual, bestG, bestB, bestLoss, bestA = carry
+        def body(c, i):
+            G, dual, bestG, bestB, bestLoss, bestA = c
+            act = i < n_act
             w_star, b_star = solve_proximal(chol, stats, rho, eta, G - dual,
                                             W0_ext)
             a_w, b_w = project_by_iter(w_star + dual, qlvl_w, -1.0, 1.0)
             G_new = a_w * b_w
             dual_new = w_star - G_new + dual
             loss = loss_fn(G_new, b_star)
-            better = loss < bestLoss
+            better = act & (loss < bestLoss)
             bestG = jnp.where(better, G_new, bestG)
             bestB = jnp.where(better, b_star, bestB)
             bestA = jnp.where(better, a_w, bestA)
-            bestLoss = jnp.minimum(loss, bestLoss)
+            bestLoss = jnp.where(better, loss, bestLoss)
             # lwq_verbose diagnostics (EfficientQConv.py:115-127): primal
             # residual |w*-G|, dual residual rho*|G-G0|
             pres = jnp.linalg.norm(w_star - G_new)
             dres = rho * jnp.linalg.norm(G_new - G)
-            return ((G_new, dual_new, bestG, bestB, bestLoss, bestA),
+            G = jnp.where(act, G_new, G)
+            dual = jnp.where(act, dual_new, dual)
+            return ((G, dual, bestG, bestB, bestLoss, bestA),
                     (loss, pres, dres, jnp.broadcast_to(rho, ())))
 
-        carry = (G, dual, bestG, bestB, bestLoss, bestA)
-        carry, ys = jax.lax.scan(body, carry, None, length=n_iters)
+        carry, ys = jax.lax.scan(body, carry, jnp.arange(L))
         G, dual, bestG, bestB, bestLoss, bestA = carry
-        hist_chunks.append(ys)
-        dual = dual * dual_factor
+        dual = dual * dfac
+        return (G, dual, bestG, bestB, bestLoss, bestA), ys
 
+    carry = (G, dual, bestG, bestB, bestLoss, bestA)
+    carry, ys_all = jax.lax.scan(outer, carry,
+                                 (mults, dual_factors, n_active))
+    _, _, bestG, bestB, bestLoss, bestA = carry
+
+    keep = np.flatnonzero(np.concatenate(
+        [np.arange(L) < n for _, n, _ in segs]))
     history = {
-        k: jnp.concatenate([jnp.atleast_1d(c[i]) for c in hist_chunks])
+        k: ys_all[i].reshape(S * L, *ys_all[i].shape[2:])[keep]
         for i, k in enumerate(("loss", "primal_residual", "dual_residual",
                                "rho"))}
     return bestG, bestB, bestA, bestLoss, history

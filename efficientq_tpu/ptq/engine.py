@@ -72,8 +72,8 @@ def _layer_kw(node, qcfg, p, hp):
                 qlvl_act=qcfg.qlvl_act if qcfg.q_act else None)
 
 
-def _precompile_layer_programs(graph, params, calib_x, captured, pyramid,
-                               hp, verbose):
+def _precompile_layer_programs(graph, params, state, calib_x, captured,
+                               pyramid, hp, verbose):
     """AOT-compile every distinct per-layer calibration program in a
     thread pool.  Returns {node_name: compiled}.  Shapes come from the FP
     capture (quantization is shape-preserving), so no device work happens
@@ -90,7 +90,7 @@ def _precompile_layer_programs(graph, params, calib_x, captured, pyramid,
     missing = [n for n in need if n not in shapes]
     if missing:
         abstract = jax.eval_shape(
-            lambda x: nnir.apply(graph, {"params": params, "state": {}},
+            lambda x: nnir.apply(graph, {"params": params, "state": state},
                                  x, mode="fp", capture=missing)[1],
             sds(calib_x.shape, calib_x.dtype))
         shapes.update(abstract)
@@ -214,7 +214,7 @@ def run_ptq(
     if mesh is None:
         t_pre = time.time()
         precompiled = _precompile_layer_programs(
-            graph, params, calib_x, captured, pyramid, hp, verbose)
+            graph, params, state, calib_x, captured, pyramid, hp, verbose)
         if verbose and precompiled:
             print(f"precompiled {len(precompiled)} layer programs in "
                   f"{time.time() - t_pre:.1f}s")
