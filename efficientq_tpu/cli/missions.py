@@ -69,24 +69,13 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                 sm[i].write_metric(f, "Output %d:" % i, is_indiv=True)
         sm[-1].print_metric("  " + split)
     if getattr(args, "true_test", False):
-        # inference_final: label-free NIfTI export of the true-test split
-        # (trainer.py:253-270,307; suffix '' as trainer.test passes it)
-        if hub.true_test_image_loader is None:
-            print("No true-test split found (true_test.txt); skipping "
-                  "true-test inference.")
-        else:
-            from ..eval.validate import inference
+        from ..eval.validate import true_test_inference
 
-            inference(graph, variables, hub.true_test_image_loader,
-                      hub.true_test_sn,
-                      save_dir=P.join(save_dir, "true_test"),
-                      patch_size=hub.slide_patch_size,
-                      overlap=hub.slide_overlap, mode=mode, suffix="",
-                      sn_fn_dict=hub.sn_to_fn_map,
-                      restore_shape_func=hub.restore_shape_func,
-                      restore_infokw=hub.restore_infokw,
-                      merge_label_func=hub.merge_label_func,
-                      multilabel_fusetype=hub.multilabel_fusetype)
+        true_test_inference(graph, variables, hub,
+                            P.join(save_dir, "true_test"), mode=mode,
+                            patch_batch=getattr(args, "patch_batch", 0)
+                            or "auto",
+                            multilabel_fusetype=hub.multilabel_fusetype)
 
 
 def train_fp(args):

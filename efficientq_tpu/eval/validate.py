@@ -151,6 +151,26 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
                       restore_shape_func, restore_infokw, suffix)
 
 
+def true_test_inference(graph, variables, data, save_dir, mode="fp",
+                        patch_batch="auto", multilabel_fusetype=None):
+    """Label-free export of the true-test split — the reference's
+    ``inference_final`` (trainer.py:253-270,307; suffix '' as trainer.test
+    passes it).  Shared by the mission driver and the Tester."""
+    if data.true_test_image_loader is None:
+        print("No true-test split found (true_test.txt); skipping "
+              "true-test inference.")
+        return
+    inference(graph, variables, data.true_test_image_loader,
+              data.true_test_sn, save_dir=save_dir,
+              patch_size=data.slide_patch_size, overlap=data.slide_overlap,
+              mode=mode, suffix="", patch_batch=patch_batch,
+              sn_fn_dict=data.sn_to_fn_map,
+              restore_shape_func=data.restore_shape_func,
+              restore_infokw=data.restore_infokw,
+              merge_label_func=data.merge_label_func,
+              multilabel_fusetype=multilabel_fusetype)
+
+
 def restore_crop(crop, pmin, pmax, shape):
     """Undo a crop back to the original volume shape (misc.py:162-171)."""
     image = np.zeros(shape, dtype=crop.dtype)

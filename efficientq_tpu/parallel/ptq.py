@@ -30,6 +30,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ptq.solver import GramStats, compute_gram_stats
 
 
+_project_jit = None
+
+
+def _jitted_project(x, qlvl, lo, hi):
+    """One module-level jit wrapper so repeat same-shape layers hit the
+    trace cache (a fresh jax.jit per call would retrace every layer)."""
+    global _project_jit
+    if _project_jit is None:
+        from ..quant import project_by_iter
+
+        _project_jit = jax.jit(project_by_iter, static_argnums=(1,))
+    return _project_jit(x, qlvl, lo, hi)
+
+
 def sharded_gram_stats(
     mesh: Mesh,
     x: jax.Array,
@@ -159,12 +173,10 @@ def calibrate_layer_sharded(
     Gram accumulation over the calibration volume — is what scales
     (src/models/solver.py:282-314 is the loop being spread out)."""
     from ..ptq.admm import calibrate_from_stats
-    from ..quant import project_by_iter
 
     alpha_act = None
     if qlvl_act is not None:
-        a_act, b_act = jax.jit(project_by_iter,
-                               static_argnums=(1,))(x, qlvl_act, 0.0, 1.0)
+        a_act, b_act = _jitted_project(x, qlvl_act, 0.0, 1.0)
         alpha_act = a_act
         x = a_act * b_act
     stats = sharded_gram_stats(mesh, x, y_fp, att, ksize, stride, padding,

@@ -62,20 +62,13 @@ class Tester:
                     sm[i].write_metric(f, "Output %d:" % i, is_indiv)
             sm[-1].print_metric("  " + split)
             results[split] = sm
-        if is_true_test and self.data.true_test_image_loader is not None:
-            from ..eval.validate import inference
+        if is_true_test:
+            from ..eval.validate import true_test_inference
 
-            inference(self.graph, self.variables,
-                      self.data.true_test_image_loader,
-                      self.data.true_test_sn,
-                      save_dir=P.join(save_dir, "true_test"),
-                      patch_size=self.data.slide_patch_size,
-                      overlap=self.data.slide_overlap, mode=self.mode,
-                      suffix="", sn_fn_dict=self.data.sn_to_fn_map,
-                      restore_shape_func=self.data.restore_shape_func,
-                      restore_infokw=self.data.restore_infokw,
-                      merge_label_func=self.data.merge_label_func,
-                      multilabel_fusetype=self.multilabel_fusetype)
+            true_test_inference(self.graph, self.variables, self.data,
+                                P.join(save_dir, "true_test"),
+                                mode=self.mode,
+                                multilabel_fusetype=self.multilabel_fusetype)
         return results
 
     def snapshot(self, fname: str, compress: bool = False):
