@@ -216,3 +216,43 @@ def test_epilogue_fusion_graph_parity():
     got = nnir.apply(igf, ivf, x, mode="quantized",
                      precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_epilogue_fusion_dilated_graph_parity():
+    """Dilated stages (the LiTS preset geometry) through the fused int8
+    deploy graph == unfused, exactly."""
+    from efficientq_tpu import nnir
+    from efficientq_tpu.models import UResQConfig, build_uresq
+    from efficientq_tpu.ptq import fold_bn
+    from efficientq_tpu.ptq.deploy import to_int8_inference
+    from efficientq_tpu.quant import fake_quant_weight
+
+    cfg = UResQConfig(num_mod=1, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[4, 8, 4], dilation_config=[1, 2, 1],
+                      init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid",
+                      ds=None, fuse_bn=True, quantize=True, qlvl_w=4,
+                      qlvl_act=4, q_first=(256, -1), q_last=(256, -1))
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(1))
+    fg, fv = fold_bn(graph, variables)
+    for node in fg.qconv_nodes():
+        q = node.attrs["qcfg"]
+        p = fv["params"][node.name]
+        if q.q_weight:
+            a = jnp.maximum(jnp.max(jnp.abs(p["kernel"])), 1e-8)
+            p["kernel"] = fake_quant_weight(p["kernel"], a, q.qlvl_w)
+            p["alpha_w"] = a
+        if q.q_act:
+            p["alpha_act"] = jnp.float32(0.8)
+
+    ig, iv = to_int8_inference(fg, fv, pallas=True, fuse_epilogues=False)
+    igf, ivf = to_int8_inference(fg, fv, pallas=True, fuse_epilogues=True)
+    assert any(n.attrs.get("pallas") and n.attrs["dilation"] == (2, 2, 2)
+               for n in igf.nodes)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 16, 16, 16, 1).astype(np.float32))
+    ref = nnir.apply(ig, iv, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    got = nnir.apply(igf, ivf, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
