@@ -170,6 +170,19 @@ def reference_ptq(sd, calib_ncdhw):
     return out_sd, layer_loss, t_ref
 
 
+def _load_stage(state_dir):
+    p = P.join(state_dir, "stage.json")
+    if P.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_stage(state_dir, stage):
+    with open(P.join(state_dir, "stage.json"), "w") as f:
+        json.dump(stage, f, indent=1)
+
+
 def main():
     from efficientq_tpu.cli.entrance import enable_compilation_cache
 
@@ -195,7 +208,18 @@ def main():
 
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="effq_w2a2_control_")
+    # EFFQ_CONTROL_STATE makes the run resumable: the trained checkpoint and
+    # each completed leg persist there, so a killed reference leg (hours of
+    # torch-CPU 13826^2 solves, src/models/solver.py:327-337) restarts
+    # without repeating the 12-min training or the jax leg.
+    state_dir = os.environ.get("EFFQ_CONTROL_STATE", "")
+    if state_dir:
+        os.makedirs(state_dir, exist_ok=True)
+        root = state_dir
+        stage = _load_stage(state_dir)
+    else:
+        root = tempfile.mkdtemp(prefix="effq_w2a2_control_")
+        stage = {}
     data_dir, split_dir = make_synthetic_dataset(
         root, task="lits", n_subjects=8, vol_shape=(VOL,) * 3, seed=0)
     hub = DataHub(
@@ -209,22 +233,33 @@ def main():
 
     cfg = qg.model_cfg(init_stride=INIT_STRIDE)
     graph = build_uresq(cfg)
-    variables = nnir.init(graph, jax.random.PRNGKey(0))
     n_mo = len(graph.outputs)
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 150
-    tr = Trainer(graph, variables, hub, loss_name="hybrid", num_mo=n_mo,
-                 n_class=3, base_lr=0.01, max_epoch=epochs,
-                 snapshot_root=P.join(root, "snap"),
-                 test_interval=10 ** 9, display_interval=50)
-    t0 = time.time()
-    for _ in range(epochs):
-        ld = tr.train_epoch()
-    print(f"trained {epochs} epochs in {time.time() - t0:.1f}s, "
-          f"loss {ld['loss']:.4f}", flush=True)
-    fp_dice = qg.mean_fg_dice(graph, tr.variables, hub, n_mo, "fp")
-    print(f"FP dice: {fp_dice:.4f}", flush=True)
-
-    sd = torch_io.to_torch_state_dict(graph, tr.variables)
+    sd_path = P.join(root, "trained_sd.npz")
+    if stage.get("trained") and P.exists(sd_path):
+        with np.load(sd_path) as z:
+            sd = {k: z[k] for k in z.files}
+        fp_dice = stage["fp_dice"]
+        print(f"resume: trained checkpoint loaded, FP dice {fp_dice:.4f}",
+              flush=True)
+    else:
+        variables = nnir.init(graph, jax.random.PRNGKey(0))
+        tr = Trainer(graph, variables, hub, loss_name="hybrid", num_mo=n_mo,
+                     n_class=3, base_lr=0.01, max_epoch=epochs,
+                     snapshot_root=P.join(root, "snap"),
+                     test_interval=10 ** 9, display_interval=50)
+        t0 = time.time()
+        for _ in range(epochs):
+            ld = tr.train_epoch()
+        print(f"trained {epochs} epochs in {time.time() - t0:.1f}s, "
+              f"loss {ld['loss']:.4f}", flush=True)
+        fp_dice = qg.mean_fg_dice(graph, tr.variables, hub, n_mo, "fp")
+        print(f"FP dice: {fp_dice:.4f}", flush=True)
+        sd = torch_io.to_torch_state_dict(graph, tr.variables)
+        if state_dir:
+            np.savez(sd_path, **{k: np.asarray(v) for k, v in sd.items()})
+            stage.update(trained=True, fp_dice=float(fp_dice), epochs=epochs)
+            _save_stage(state_dir, stage)
 
     hub.trainseqloader.dataset.use_fix_transform()
     img, _ = next(iter(hub.trainseqloader))
@@ -238,14 +273,28 @@ def main():
     # ---- leg (a): our PTQ ----
     qvars = torch_io.load_torch_state_dict(
         qgraph, nnir.init(qgraph, jax.random.PRNGKey(0)), sd)
-    t0 = time.time()
-    fg, fv, report = run_ptq(qgraph, qvars, calib_x, task="lits",
-                             init_stride=INIT_STRIDE, num_mask_lvls=NUM_LVLS,
-                             hp=PTQHyperParams(admm_iter=ADMM_ITER))
-    t_ours = time.time() - t0
-    ours_dice = qg.mean_fg_dice(fg, fv, hub, n_mo, "quantized")
-    print(f"ours W2A2 dice: {ours_dice:.4f} (delta {fp_dice - ours_dice:+.4f}"
-          f", calib {t_ours:.0f}s)", flush=True)
+    if stage.get("ours_dice") is not None:
+        from efficientq_tpu.ptq.fold_bn import fold_bn
+
+        fg, _ = fold_bn(qgraph, qvars)
+        ours_dice, t_ours = stage["ours_dice"], stage["ours_calib_seconds"]
+        print(f"resume: ours W2A2 dice {ours_dice:.4f} "
+              f"(delta {fp_dice - ours_dice:+.4f})", flush=True)
+    else:
+        t0 = time.time()
+        fg, fv, report = run_ptq(qgraph, qvars, calib_x, task="lits",
+                                 init_stride=INIT_STRIDE,
+                                 num_mask_lvls=NUM_LVLS,
+                                 hp=PTQHyperParams(admm_iter=ADMM_ITER))
+        t_ours = time.time() - t0
+        ours_dice = qg.mean_fg_dice(fg, fv, hub, n_mo, "quantized")
+        print(f"ours W2A2 dice: {ours_dice:.4f} "
+              f"(delta {fp_dice - ours_dice:+.4f}, calib {t_ours:.0f}s)",
+              flush=True)
+        if state_dir:
+            stage.update(ours_dice=float(ours_dice),
+                         ours_calib_seconds=t_ours)
+            _save_stage(state_dir, stage)
 
     # ---- leg (b): reference PTQ on the same checkpoint ----
     ref_sd, ref_layer_loss, t_ref = reference_ptq(sd, calib_ncdhw)
@@ -260,6 +309,7 @@ def main():
 
     out = {
         "widths": WIDTHS, "vol": VOL, "epochs": epochs, "qlvl": QLVL,
+        "admm_iter": ADMM_ITER,
         "fp_dice": fp_dice,
         "ours_w2a2_dice": ours_dice, "ours_delta": fp_dice - ours_dice,
         "reference_w2a2_dice": ref_dice, "reference_delta": fp_dice - ref_dice,
