@@ -73,9 +73,12 @@ def main():
 
             # full 18-patch grid as ONE batched forward: fewest dispatch
             # round-trips and best MXU utilization (measured sweep: 3/6/9/18
-            # -> 3.06/3.16/3.34/3.37 vol/s sync)
+            # -> 3.06/3.16/3.34/3.37 vol/s sync).  heads: serving consumes
+            # only the final head — slicing before the stitch lets XLA DCE
+            # the aux classifiers + their share of the stitch (eval/sliding.py)
             logits = sliding_window_inference(model_fn, image, patch, overlap,
-                                              patch_batch=18)
+                                              patch_batch=18,
+                                              heads=slice(-1, None))
             # end-to-end serving output: hard segmentation (uint8), so the
             # timed loop can materialize each result on the host cheaply
             return pred_brats_con_merge(logits[-1]).astype(jnp.uint8)

@@ -70,6 +70,7 @@ def choose_patch_batch(
     precision=None,
     default: int = 2,
     verbose: bool = False,
+    heads=None,
 ) -> int:
     """Measured patch_batch for this (volume shape, patch, overlap, mode,
     graph-signature) on the current backend.  ``example_image`` is one real
@@ -91,7 +92,9 @@ def choose_patch_batch(
     # n_patches covers the loader batch dimension: a different
     # test_batchsize changes both the optimum and the OOM envelope
     key = str(("v2", vol_shape, n_patches, tuple(ops.triple(patch_size)),
-               tuple(ops.triple(overlap)), mode, str(precision), gsig))
+               tuple(ops.triple(overlap)), mode, str(precision), gsig,
+               (heads.start, heads.stop, heads.step)
+               if heads is not None else None))
     if key in _MEM_CACHE:
         return _MEM_CACHE[key]
     disk = _load_disk()
@@ -105,7 +108,8 @@ def choose_patch_batch(
     for cand in _candidates(n_patches):
         try:
             infer = make_jitted_volume_inferencer(
-                graph, patch_batch=cand, mode=mode, precision=precision)
+                graph, patch_batch=cand, mode=mode, precision=precision,
+                heads=heads)
             args = (variables, example_image,
                     tuple(ops.triple(patch_size)),
                     tuple(ops.triple(overlap)))

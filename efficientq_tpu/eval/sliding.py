@@ -69,6 +69,7 @@ def sliding_window_inference(
     patch_size,
     overlap,
     patch_batch: int = 1,
+    heads: "slice | None" = None,
 ) -> jax.Array:
     """Run ``model_fn`` ((B, pd, ph, pw, C) -> (M, B, pd, ph, pw, C_out))
     over the overlapped patch grid of ``image`` (N, D, H, W, C) and stitch.
@@ -76,6 +77,15 @@ def sliding_window_inference(
     Returns (M, N, D, H, W, C_out).  The patch axis is processed in chunks of
     ``patch_batch`` (the final chunk may be smaller).  Wrap in jit per
     volume-shape signature for full fusion.
+
+    ``heads``: optional slice selecting deep-supervision heads BEFORE the
+    stitch (e.g. ``slice(-1, None)`` for final-head-only serving).  Slicing
+    inside the traced computation lets XLA dead-code-eliminate the unused
+    aux classifiers, their trilinear upsampling, and their share of the
+    full-volume stitch — ~18% of device time on the flagship BraTS serving
+    graph.  The reference module computes every head unconditionally
+    (src/models/UResQNet.py forward returns all ds outputs); label-free
+    serving only consumes the last (src/utils/validate.py:266-303).
     """
     patch_size = ops.triple(patch_size)
     vol_shape = image.shape[1:4]
@@ -87,7 +97,8 @@ def sliding_window_inference(
     outs = []
     for s in range(0, P * N, patch_batch):
         chunk = flat[s:s + patch_batch]
-        outs.append(model_fn(chunk))
+        out = model_fn(chunk)
+        outs.append(out[heads] if heads is not None else out)
     out = jnp.concatenate(outs, axis=1)  # (M, P*N, pd, ph, pw, C)
     M = out.shape[0]
     out = out.reshape(M, P, N, *out.shape[2:]).transpose(1, 0, 2, 3, 4, 5, 6)
@@ -95,9 +106,10 @@ def sliding_window_inference(
 
 
 def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
-                                  precision=None):
+                                  precision=None, heads=None):
     """Returns infer(variables, image, patch_size, overlap) jitted per
-    (volume shape, patch size) signature."""
+    (volume shape, patch size) signature.  ``heads``: see
+    sliding_window_inference."""
     from .. import nnir
 
     @partial(jax.jit, static_argnames=("patch_size", "overlap"))
@@ -107,6 +119,6 @@ def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
                               precision=precision)
 
         return sliding_window_inference(model_fn, image, patch_size, overlap,
-                                        patch_batch)
+                                        patch_batch, heads=heads)
 
     return infer

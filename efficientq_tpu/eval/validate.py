@@ -126,6 +126,7 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
     os.makedirs(save_dir, exist_ok=True)
     infer = None
     sn_counter = -1
+    final_head = slice(-1, None)  # aux heads DCE'd out (see sliding.py)
     for images, _ in iter(loader):
         x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
         if infer is None:
@@ -134,9 +135,11 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
                 from .autotune import choose_patch_batch
 
                 pb = choose_patch_batch(graph, variables, x, patch_size,
-                                        overlap, mode=mode)
+                                        overlap, mode=mode,
+                                        heads=final_head)
             infer = make_jitted_volume_inferencer(graph, patch_batch=pb,
-                                                  mode=mode)
+                                                  mode=mode,
+                                                  heads=final_head)
         preds = np.asarray(infer(variables, x, tuple(ops.triple(patch_size)),
                                  tuple(ops.triple(overlap))))
         for j in range(preds.shape[1]):

@@ -100,3 +100,20 @@ def test_choose_patch_batch_cpu_default_and_cache(tmp_path, monkeypatch):
     # cache write/read path (exercise _save_disk/_load_disk directly)
     at._save_disk({"k": 7})
     assert at._load_disk() == {"k": 7}
+
+
+def test_heads_slice_matches_full_stitch():
+    """heads=slice(-1, None) must reproduce the final head of the full
+    multi-head stitch exactly (serving fast path, aux heads DCE'd)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 12, 12, 12, 2).astype(np.float32))
+
+    def model_fn(xb):
+        # two fake heads with distinct values
+        return jnp.stack([0.5 * xb, 2.0 * xb])
+
+    full = sliding_window_inference(model_fn, x, (8, 8, 8), (4, 4, 4), 4)
+    last = sliding_window_inference(model_fn, x, (8, 8, 8), (4, 4, 4), 4,
+                                    heads=slice(-1, None))
+    assert last.shape[0] == 1 and full.shape[0] == 2
+    np.testing.assert_array_equal(np.asarray(full[-1:]), np.asarray(last))
