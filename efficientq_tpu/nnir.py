@@ -209,12 +209,20 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
             # bit-exact deployment default.  Fused epilogues (residual add,
             # next-layer act-quant) come from pallas/epilogue.py.
             quant_for = a.get("epilogue_quant_for")
+            res = ins[1] if a.get("residual") else None
+            if res is not None and compute_dtype is not None:
+                # low-precision serving: stream the residual at
+                # compute_dtype — halves its VMEM footprint (which is what
+                # lets the 64^3 stages keep the add in-kernel instead of
+                # falling back to an XLA pass) and matches the precision of
+                # the XLA fallback add, which also runs at compute_dtype
+                res = res.astype(compute_dtype)
             return qconv3x3_int8_ndhwc(
                 x, p["kernel_int8"], p.get("bias"), p["alpha_act"],
                 p["scale"], qcfg.qlvl_act, dilation=a["dilation"][0],
                 interpret=interpret,
                 out_dtype=compute_dtype or jnp.float32,
-                residual=ins[1] if a.get("residual") else None,
+                residual=res,
                 quant_alpha=(params[quant_for]["alpha_act"]
                              if quant_for else None),
                 quant_qlvl=a.get("epilogue_qlvl", 0) if quant_for else 0,

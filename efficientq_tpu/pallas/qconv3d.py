@@ -40,7 +40,7 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, taps_hw, tz, out_dtype,
+def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
                     has_res, quant_qlvl):
     """refs = tz + 2*dil int8 plane refs, [res_ref], then w_ref, b_ref,
     o_ref.
@@ -77,10 +77,18 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, taps_hw, tz, out_dtype,
         acc = None
         for kd in range(3):
             qa = padded[z + kd * dil]  # (Hp, Wp, C) int8
-            cols = jnp.concatenate(
-                [qa[kh * dil:kh * dil + H, kw * dil:kw * dil + W, :]
-                 .reshape(H * W, -1) for kh, kw in taps_hw], axis=1)
-            part = jnp.dot(cols, w_ref[kd], preferred_element_type=jnp.int32)
+            # one dot per kh tap (K = 3C) instead of one K = 9C dot: the
+            # padded MXU work is identical (K pads to 128-lane tiles either
+            # way) but the im2col scratch shrinks 3x, which is what lets
+            # the 64^3-plane residual epilogue fit the VMEM budget
+            part = None
+            for kh in range(3):
+                cols = jnp.concatenate(
+                    [qa[kh * dil:kh * dil + H, kw * dil:kw * dil + W, :]
+                     .reshape(H * W, -1) for kw in range(3)], axis=1)
+                d_kh = jnp.dot(cols, w_ref[kd, kh],
+                               preferred_element_type=jnp.int32)
+                part = d_kh if part is None else part + d_kh
             # zero the contribution when this tap's z-plane is out of range
             # (the index map clamped it to a valid plane)
             z_in = zi * tz + z + (kd - 1) * dil
@@ -151,10 +159,9 @@ def qconv3x3_int8_ndhwc(
         # VMEM (see _qconv3d_kernel docstring).
         qa = jnp.round(jnp.clip(x / alpha_act, 0.0, 1.0)
                        * (qlvl_act - 1)).astype(jnp.int8)
-    taps_hw = tuple((i, j) for i in range(3) for j in range(3))
-    # per-kd im2col weight layout: (kh, kw, C) rows, matching the kernel's
-    # kh-major/kw-minor concat of C-column slices
-    w_mat = w_codes.reshape(3, 9 * c, o)
+    # per-(kd, kh) im2col weight layout: (kw, C) rows, matching the
+    # kernel's kw-minor concat of C-column slices
+    w_mat = w_codes.reshape(3, 3, 3 * c, o)
     bias2d = bias.reshape(1, o)
     # scale vector in SMEM: [epilogue scale, alpha_next]
     qalpha = (jnp.asarray(quant_alpha, jnp.float32) if quant_qlvl
@@ -175,7 +182,7 @@ def qconv3x3_int8_ndhwc(
                 + (t + 2 * dil) * hp * wp * _pad128(c)     # padded copies
                 + t * h * w_sp * _pad128(o) * out_bytes * 2  # out x2
                 + t * h * w_sp * _pad128(o) * rb * 2         # residual x2
-                + h * w_sp * _pad128(9 * c)                  # im2col block
+                + h * w_sp * _pad128(3 * c)                  # im2col block
                 + h * w_sp * _pad128(o) * 4)                 # i32 accumulator
 
     tz = 1
@@ -197,7 +204,7 @@ def qconv3x3_int8_ndhwc(
         return y + residual.astype(y.dtype)
 
     kernel = functools.partial(_qconv3d_kernel, H=h, W=w_sp, D=d, dil=dil,
-                               taps_hw=taps_hw, tz=tz, out_dtype=out_dtype,
+                               tz=tz, out_dtype=out_dtype,
                                has_res=residual is not None,
                                quant_qlvl=quant_qlvl)
     # z taps clamped into range; the kernel masks the out-of-range ones
@@ -219,7 +226,7 @@ def qconv3x3_int8_ndhwc(
             else pl.BlockSpec((2,), lambda ni, zi: (0,)),
             *plane_spec,
             *res_spec,
-            pl.BlockSpec((3, 9 * c, o), lambda ni, zi: (0, 0, 0)),
+            pl.BlockSpec((3, 3, 3 * c, o), lambda ni, zi: (0, 0, 0, 0)),
             pl.BlockSpec((1, o), lambda ni, zi: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tz, h, w_sp, o),
