@@ -50,7 +50,7 @@ def main():
 
     # headline workload: whole-volume sliding-window inference on a standard
     # BraTS volume (155 x 240 x 240, 4 modalities), 128^3 patches overlap 16
-    # -> 2x3x3 = 18 patches, stitched on device (BASELINE.md row 2)
+    # -> 2x2x2 = 8 patches, stitched on device (BASELINE.md row 2)
     vol_shape = (155, 240, 240)
     patch, overlap = (128, 128, 128), (16, 16, 16)
     n_patches = len(patch_grid(vol_shape, patch, overlap))
@@ -71,13 +71,13 @@ def main():
                 return nnir.apply(g, v, xb, mode="quantized",
                                   compute_dtype=jnp.bfloat16)
 
-            # full 18-patch grid as ONE batched forward: fewest dispatch
-            # round-trips and best MXU utilization (measured sweep: 3/6/9/18
-            # -> 3.06/3.16/3.34/3.37 vol/s sync).  heads: serving consumes
+            # full 8-patch grid as ONE batched forward: fewest dispatch
+            # round-trips and best MXU utilization (measured sweep up to the
+            # full grid).  heads: serving consumes
             # only the final head — slicing before the stitch lets XLA DCE
             # the aux classifiers + their share of the stitch (eval/sliding.py)
             logits = sliding_window_inference(model_fn, image, patch, overlap,
-                                              patch_batch=18,
+                                              patch_batch=n_patches,
                                               heads=slice(-1, None))
             # end-to-end serving output: hard segmentation (uint8), so the
             # timed loop can materialize each result on the host cheaply
@@ -137,7 +137,10 @@ def main():
     tpu_volumes_per_sec = sync_variants[headline_variant]
 
     # FLOP accounting for MFU/roofline (VERDICT r2 item 9): conv MACs of
-    # the whole 18-patch volume forward, from statically evaluated shapes
+    # the whole patch-grid volume forward (2x2x2 = 8 patches at this
+    # volume/patch/overlap), from statically evaluated shapes.  NOTE: rounds
+    # 1-3 mistakenly used 18 here (a stale grid count), overstating
+    # conv_tflops_per_volume and MFU by 2.25x.
     def graph_flops(g, batch, spatial):
         conv_names = [n.name for n in g.conv_nodes()]
         shapes = jax.eval_shape(
@@ -153,7 +156,7 @@ def main():
                       * a["in_ch"] // a["groups"] * k)
         return total
 
-    flops_volume = graph_flops(fgraph, 18, patch)
+    flops_volume = graph_flops(fgraph, n_patches, patch)
     # v5e peak: 197 TFLOP/s bf16, 394 TOP/s int8 (public spec); MFU is
     # reported against the bf16 peak for every variant — the int8 variants'
     # headroom to the 2x int8 peak is part of the story
@@ -165,7 +168,7 @@ def main():
     }
 
     # torch CPU FP32 baseline: one 128^3 patch through the same graph,
-    # extrapolated to the 18-patch volume (a full CPU volume would take
+    # extrapolated to the 8-patch volume (a full CPU volume would take
     # ~10 min; stitching cost is negligible next to the convs)
     x = vol[:, :128, :128, :128, :]
     x_ncdhw = np.transpose(x, (0, 4, 1, 2, 3)).copy()

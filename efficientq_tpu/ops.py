@@ -84,6 +84,96 @@ def conv3d(
     return y
 
 
+def stem_s2d_conv3d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: IntOr3 = 2,
+    precision=None,
+    preferred_element_type=None,
+) -> jax.Array:
+    """The strided 3^3 stem conv, reformulated as space-to-depth + a small
+    stride-1 conv — same arithmetic, MXU-friendly shapes.
+
+    The network's first conv (src/models/UResQNet.py conv0: 1-4 input
+    channels, stride 2) starves the MXU: its contraction reads 4 lanes of
+    the 128-lane systolic array.  Decomposing each stride-2 dim into
+    (block, phase) and folding the phase into channels turns it into a
+    2-tap valid conv over 8x the channels (e.g. BraTS: K = 4 x 27 taps
+    spread over 4 lanes  ->  K = 32 x 8 taps over 32 lanes), which XLA
+    tiles onto the MXU like any interior conv.  Exact up to f32 summation
+    order.
+
+    Requirements: kernel (3, 3, 3, C, O), dilation 1, 'same' padding for
+    the given stride (pad 1), per-dim stride in {1, 2}.
+
+    Status: library op, NOT wired into the serving stem.  Measured on a
+    v5e (scripts/stem_bench.py) the rewrite is 2.5-3.3x SLOWER than
+    XLA's native strided conv at the UResQ stem geometries — the phase
+    slices/concat of 4-lane channel-minor tensors cost more than the MXU
+    starvation they fix (docs/kernels.md "remaining int8 top costs").
+    Kept for geometries with deeper stems where the trade may flip.
+    """
+    s = triple(stride)
+    assert kernel.shape[:3] == (3, 3, 3) and all(st in (1, 2) for st in s)
+    n, d, h, w_sp, c = x.shape
+    o = kernel.shape[4]
+    dims = (d, h, w_sp)
+    outs = [(dim + 1) // 2 if st == 2 else dim for dim, st in zip(dims, s)]
+    # padded length: stride 2 -> 2*(out+1) so phase slices give out+1
+    # blocks (valid 2-tap conv -> out); stride 1 -> dim+2 ('same', 3 taps)
+    pads = ([(0, 0)]
+            + [(1, 2 * ou + 1 - dim) if st == 2 else (1, 1)
+               for dim, st, ou in zip(dims, s, outs)]
+            + [(0, 0)])
+    xp = jnp.pad(x, pads)
+
+    # phase combos, outermost dim first; slice order must match the
+    # channel-block order used to assemble the equivalent kernel below
+    phase_sets = [tuple(range(2)) if st == 2 else (0,) for st in s]
+    kb = [2 if st == 2 else 3 for st in s]  # block-tap counts
+    phases = [(pd, ph, pw) for pd in phase_sets[0] for ph in phase_sets[1]
+              for pw in phase_sets[2]]
+    parts = []
+    for pd, ph, pw in phases:
+        sl = xp
+        if s[0] == 2:
+            sl = sl[:, pd::2]
+        if s[1] == 2:
+            sl = sl[:, :, ph::2]
+        if s[2] == 2:
+            sl = sl[:, :, :, pw::2]
+        parts.append(sl)
+    x2 = jnp.concatenate(parts, axis=-1)
+
+    # equivalent kernel (traceable jnp assembly — `kernel` is a live
+    # parameter): block tap b at phase p covers the original tap
+    # t = 2b + p (stride 2) / t = b (stride 1); taps beyond the 3-tap
+    # support contribute zero
+    zero = jnp.zeros((c, o), kernel.dtype)
+    rows = []
+    for bd in range(kb[0]):
+        cols_h = []
+        for bh in range(kb[1]):
+            cols_w = []
+            for bw in range(kb[2]):
+                chunks = []
+                for pd, ph, pw in phases:
+                    td = 2 * bd + pd if s[0] == 2 else bd
+                    th = 2 * bh + ph if s[1] == 2 else bh
+                    tw = 2 * bw + pw if s[2] == 2 else bw
+                    chunks.append(kernel[td, th, tw]
+                                  if td <= 2 and th <= 2 and tw <= 2
+                                  else zero)
+                cols_w.append(jnp.concatenate(chunks, axis=0))
+            cols_h.append(jnp.stack(cols_w))
+        rows.append(jnp.stack(cols_h))
+    w2 = jnp.stack(rows)  # (kb_d, kb_h, kb_w, P*C, O)
+    return conv3d(x2, w2, bias, stride=1, padding=0, dilation=1,
+                  precision=precision,
+                  preferred_element_type=preferred_element_type)
+
+
 def max_pool3d(x: jax.Array, kernel: IntOr3, stride: Optional[IntOr3] = None) -> jax.Array:
     """Max pooling over D,H,W of an NDHWC tensor (VALID padding, like torch
     MaxPool3d with padding=0, ceil_mode=False)."""

@@ -101,3 +101,17 @@ def test_dropout3d_channelwise():
         for c in range(16):
             vals = np.unique(per_chan[n, :, c])
             assert len(vals) == 1 and vals[0] in (0.0, 2.0)
+
+
+@pytest.mark.parametrize("stride", [(2, 2, 2), (2, 2, 1), (1, 2, 2)])
+def test_stem_s2d_conv3d_matches_conv3d(stride):
+    # odd spatial dims exercise the ragged-tail padding of the phase split
+    x = rand((2, 7, 9, 10, 4), 7)
+    w = rand((3, 3, 3, 4, 6), 8)
+    b = rand((6,), 9)
+    ref = ops.conv3d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                     stride=stride, padding=1, precision=HI)
+    got = ops.stem_s2d_conv3d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                              stride=stride, precision=HI)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
