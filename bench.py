@@ -9,6 +9,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -57,10 +58,32 @@ def main():
     vol = np.random.RandomState(0).randn(1, *vol_shape, 4).astype(np.float32)
     vj = jnp.asarray(vol)
 
+    from efficientq_tpu.pallas.stem import extract_s2d_patches, s2d_supported
     from efficientq_tpu.ptq.attention import pred_brats_con_merge
-    from efficientq_tpu.ptq.deploy import to_int8_inference
+    from efficientq_tpu.ptq.deploy import (channels_first_tail,
+                                           s2d_stem_serving,
+                                           to_int8_inference)
 
-    def make_infer(g):
+    def make_infer(g, v):
+        # serving tail rewrite: final head only, emitted NCDHW so the
+        # head conv / trilinear up / stitch run with W on the vector lanes
+        # instead of a C=3 minor dim that tiles at ~42x its logical bytes
+        # (ptq/deploy.py::channels_first_tail; -2.5 ms/volume measured)
+        g = channels_first_tail(g)
+        # opt-in stem rewrite (EFFQ_S2D_STEM=1): the stride-2 C=4 init conv
+        # as the fused space-to-depth Pallas kernel (pallas/stem.py).  The
+        # kernel beats the XLA stem conv 3.2x, but the XLA-side volume
+        # phase shuffle it needs costs more than it saves on this
+        # toolchain (docs/kernels.md), so the default serving path keeps
+        # the direct conv.
+        extract_fn = None
+        if os.environ.get("EFFQ_S2D_STEM") == "1":
+            g, v, stem = s2d_stem_serving(g, v)
+            if stem is not None and s2d_supported(
+                    patch_grid(vol_shape, patch, overlap), patch, vol_shape,
+                    stem.attrs):
+                extract_fn = extract_s2d_patches
+
         @jax.jit
         def infer_volume(v, image):
             def model_fn(xb):
@@ -73,60 +96,62 @@ def main():
 
             # full 8-patch grid as ONE batched forward: fewest dispatch
             # round-trips and best MXU utilization (measured sweep up to the
-            # full grid).  heads: serving consumes
-            # only the final head — slicing before the stitch lets XLA DCE
-            # the aux classifiers + their share of the stitch (eval/sliding.py)
+            # full grid).  normalize=False: hard-pred serving is invariant
+            # to the positive per-voxel visit count (sigmoid(x) >= 0.5 <=>
+            # x >= 0), so the overlap-average division is skipped
             logits = sliding_window_inference(model_fn, image, patch, overlap,
                                               patch_batch=n_patches,
-                                              heads=slice(-1, None))
+                                              channels_first=True,
+                                              normalize=False,
+                                              extract_fn=extract_fn)
             # end-to-end serving output: hard segmentation (uint8), so the
             # timed loop can materialize each result on the host cheaply
-            return pred_brats_con_merge(logits[-1]).astype(jnp.uint8)
+            return pred_brats_con_merge(logits[-1], axis=1).astype(jnp.uint8)
 
-        return infer_volume
+        return jax.tree_util.Partial(infer_volume, v)
 
     iters = 5
 
-    def time_sync(infer, v):
+    def time_sync(infer):
         """Synchronous serving: block on the host materialization per
         volume (includes tunnel/transfer latency)."""
         t0 = time.perf_counter()
         for _ in range(iters):
-            seg = np.asarray(infer(v, vj))
+            seg = np.asarray(infer(vj))
         return iters / (time.perf_counter() - t0)
 
-    def time_async(infer, v):
+    def time_async(infer):
         """Pipelined device throughput: keep the device queue full (the
         deployment mode with concurrent volumes), materialize at the end."""
         t0 = time.perf_counter()
-        segs = [infer(v, vj) for _ in range(iters)]
+        segs = [infer(vj) for _ in range(iters)]
         jax.block_until_ready(segs)
         return iters / (time.perf_counter() - t0)
 
-    infer_bf16 = make_infer(fgraph)
-    seg = np.asarray(infer_bf16(fvars, vj))  # compile + warmup + transfer
+    infer_bf16 = make_infer(fgraph, fvars)
+    seg = np.asarray(infer_bf16(vj))  # compile + warmup + transfer
     assert seg.shape == (1, *vol_shape)
-    sync_vps = time_sync(infer_bf16, fvars)
-    async_vps = time_async(infer_bf16, fvars)
+    sync_vps = time_sync(infer_bf16)
+    async_vps = time_async(infer_bf16)
 
     # int8 deployment: true-integer MXU arithmetic through the fused Pallas
     # kernels (ptq/deploy.py + pallas/qconv3d.py), bit-exact vs fake-quant
     igraph, ivars = to_int8_inference(fgraph, fvars)
-    infer_int8 = make_infer(igraph)
-    seg8 = np.asarray(infer_int8(ivars, vj))
+    infer_int8 = make_infer(igraph, ivars)
+    seg8 = np.asarray(infer_int8(vj))
     assert seg8.shape == (1, *vol_shape)
-    int8_sync_vps = time_sync(infer_int8, ivars)
-    int8_async_vps = time_async(infer_int8, ivars)
+    int8_sync_vps = time_sync(infer_int8)
+    int8_async_vps = time_async(infer_int8)
 
     # mixed serving: int8 Pallas MXU for the FLOP-heavy 3^3 convs, bf16 XLA
     # matmuls for the skinny 1x1 transitions (fastest measured combination)
     mgraph, mvars = to_int8_inference(fgraph, fvars,
                                       only_kernel_sizes={(3, 3, 3)})
-    infer_mixed = make_infer(mgraph)
-    segm = np.asarray(infer_mixed(mvars, vj))
+    infer_mixed = make_infer(mgraph, mvars)
+    segm = np.asarray(infer_mixed(vj))
     assert segm.shape == (1, *vol_shape)
-    mixed_sync_vps = time_sync(infer_mixed, mvars)
-    mixed_async_vps = time_async(infer_mixed, mvars)
+    mixed_sync_vps = time_sync(infer_mixed)
+    mixed_async_vps = time_async(infer_mixed)
 
     # headline stays pinned to the best *synchronous* serving variant, and
     # we record WHICH variant produced it so cross-round BENCH numbers stay

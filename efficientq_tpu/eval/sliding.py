@@ -51,15 +51,50 @@ def extract_patches(image: jax.Array, starts, patch_size) -> jax.Array:
     return jnp.stack(patches)
 
 
-def stitch_patches(preds: jax.Array, starts, vol_shape) -> jax.Array:
-    """(P, M, N, pd, ph, pw, C) -> (M, N, D, H, W, C), overlap-averaged."""
-    P, M, N, pd, ph, pw, C = preds.shape
+def visit_counter(starts, patch_size, vol_shape) -> np.ndarray:
+    """Per-voxel patch visit counts.  The grid is static for a volume-shape
+    signature, so this is a host-side constant — the reference accumulates
+    it on device per volume (utils/transforms.py:842-846); folding it to a
+    compile-time constant removes 8 dynamic-update-slices from the stitch."""
+    pd, ph, pw = patch_size
+    counter = np.zeros(tuple(vol_shape), np.float32)
+    for i, j, k in starts:
+        counter[i:i + pd, j:j + ph, k:k + pw] += 1.0
+    return counter
+
+
+def stitch_patches(preds: jax.Array, starts, vol_shape,
+                   channels_first: bool = False,
+                   normalize: bool = True) -> jax.Array:
+    """(P, M, N, pd, ph, pw, C) -> (M, N, D, H, W, C), overlap-averaged.
+
+    With ``channels_first`` the patch axes are (P, M, N, C, pd, ph, pw) and
+    the canvas is (M, N, C, D, H, W) — the serving layout where W rides the
+    vector lanes instead of a tiny class dim (ptq/deploy.py
+    ``channels_first_tail``).
+
+    ``normalize=False`` returns the raw overlap SUM.  For hard-prediction
+    serving the visit count is a positive per-voxel scalar shared by all
+    classes, so sigmoid(avg) >= 0.5 and argmax decisions are unchanged —
+    skipping the division saves a full-volume pass."""
     d, h, w = vol_shape
+    if channels_first:
+        P, M, N, C, pd, ph, pw = preds.shape
+        canvas = jnp.zeros((M, N, C, d, h, w), preds.dtype)
+        for idx, (i, j, k) in enumerate(starts):
+            canvas = canvas.at[:, :, :, i:i + pd, j:j + ph,
+                               k:k + pw].add(preds[idx])
+        if not normalize:
+            return canvas
+        counter = visit_counter(starts, (pd, ph, pw), vol_shape)
+        return canvas / counter[None, None, None]
+    P, M, N, pd, ph, pw, C = preds.shape
     canvas = jnp.zeros((M, N, d, h, w, C), preds.dtype)
-    counter = jnp.zeros((d, h, w), jnp.float32)
     for idx, (i, j, k) in enumerate(starts):
         canvas = canvas.at[:, :, i:i + pd, j:j + ph, k:k + pw, :].add(preds[idx])
-        counter = counter.at[i:i + pd, j:j + ph, k:k + pw].add(1.0)
+    if not normalize:
+        return canvas
+    counter = visit_counter(starts, (pd, ph, pw), vol_shape)
     return canvas / counter[None, None, :, :, :, None]
 
 
@@ -70,9 +105,16 @@ def sliding_window_inference(
     overlap,
     patch_batch: int = 1,
     heads: "slice | None" = None,
+    channels_first: bool = False,
+    normalize: bool = True,
+    extract_fn=None,
 ) -> jax.Array:
     """Run ``model_fn`` ((B, pd, ph, pw, C) -> (M, B, pd, ph, pw, C_out))
     over the overlapped patch grid of ``image`` (N, D, H, W, C) and stitch.
+
+    ``channels_first``: the model emits (M, B, C_out, pd, ph, pw) (a
+    channels-first serving tail, ptq/deploy.py) and the result is
+    (M, N, C_out, D, H, W).
 
     Returns (M, N, D, H, W, C_out).  The patch axis is processed in chunks of
     ``patch_batch`` (the final chunk may be smaller).  Wrap in jit per
@@ -90,19 +132,26 @@ def sliding_window_inference(
     patch_size = ops.triple(patch_size)
     vol_shape = image.shape[1:4]
     starts = patch_grid(vol_shape, patch_size, overlap)
-    patches = extract_patches(image, starts, patch_size)
-    P, N = patches.shape[0], patches.shape[1]
-    flat = patches.reshape(P * N, *patches.shape[2:])
+    P, N = len(starts), image.shape[0]
+    if extract_fn is not None:
+        # custom model-input space (e.g. pallas.stem.extract_s2d_patches):
+        # any pytree whose leaves are batched on a leading P*N axis
+        flat = extract_fn(image, starts, patch_size)
+    else:
+        patches = extract_patches(image, starts, patch_size)
+        flat = patches.reshape(P * N, *patches.shape[2:])
 
     outs = []
     for s in range(0, P * N, patch_batch):
-        chunk = flat[s:s + patch_batch]
+        chunk = jax.tree_util.tree_map(lambda a: a[s:s + patch_batch], flat)
         out = model_fn(chunk)
         outs.append(out[heads] if heads is not None else out)
-    out = jnp.concatenate(outs, axis=1)  # (M, P*N, pd, ph, pw, C)
+    out = jnp.concatenate(outs, axis=1)  # (M, P*N, [C,] pd, ph, pw [, C])
     M = out.shape[0]
-    out = out.reshape(M, P, N, *out.shape[2:]).transpose(1, 0, 2, 3, 4, 5, 6)
-    return stitch_patches(out, starts, vol_shape)
+    out = out.reshape(M, P, N, *out.shape[2:])
+    out = jnp.moveaxis(out, 1, 0)  # patch axis first
+    return stitch_patches(out, starts, vol_shape,
+                          channels_first=channels_first, normalize=normalize)
 
 
 def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",

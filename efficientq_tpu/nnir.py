@@ -298,6 +298,52 @@ def eval_node(node: Node, params: Dict[str, Any], state: Dict[str, Any],
         return ops.max_pool3d(ins[0], node.attrs["kernel"], node.attrs["stride"])
     if node.op == "upsample":
         return ops.upsample3d(ins[0], node.attrs["scale_factor"])
+    if node.op == "conv_cf":
+        # Serving-only channels-first head (ptq/deploy.py::channels_first_tail):
+        # the 1x1 classifier emits NCDHW so every downstream pass (trilinear
+        # up, stitch, pred merge) runs with a spatial dim on the vector lanes.
+        # A C=3-minor f32 tensor tiles at ~42x its logical bytes on TPU; the
+        # profiled head+stitch tail cost ~9 ms of the 42.6 ms serving graph.
+        p = params[node.name]
+        a = node.attrs
+        x = ins[0]
+        qcfg: Optional[QCfg] = a.get("qcfg")
+        kernel = p["kernel"]
+        if qcfg is not None and mode in ("quantized", "fq"):
+            if qcfg.q_act:
+                x = fake_quant_act(x, p["alpha_act"], qcfg.qlvl_act)
+            if mode == "fq" and qcfg.q_weight:
+                kernel = fake_quant_weight(kernel, p["alpha_w"], qcfg.qlvl_w)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            kernel = kernel.astype(compute_dtype)
+        # 1x1 conv with an NCDHW output spec (CPU's dot thunk can't take
+        # bf16 operands with f32 accumulation; the conv thunk can)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NCDHW"),
+            preferred_element_type=jnp.float32)
+        if "bias" in p:
+            y = y + p["bias"].reshape(1, -1, 1, 1, 1)
+        return y
+    if node.op == "upsample_cf":
+        return ops.upsample3d_cf(ins[0], node.attrs["scale_factor"])
+    if node.op == "stem_s2d":
+        # serving-only fused space-to-depth stem (pallas/stem.py, rewritten
+        # by ptq/deploy.py::s2d_stem_serving).  Input is the
+        # (s2d patches, parities) pair from pallas.stem.extract_s2d_patches;
+        # returns (bf16 relu'd activation, consumer's int8 codes).
+        from .pallas.stem import stem_s2d_conv
+
+        xs, par = ins[0]
+        p = params[node.name]
+        return stem_s2d_conv(
+            xs, par, p["w_even"], p["w_odd"], p["bias"], p["alpha_next"],
+            node.attrs["qlvl_next"],
+            interpret=jax.default_backend() != "tpu",
+            out_dtype=compute_dtype or jnp.float32)
+    if node.op == "tuple_get":
+        return ins[0][node.attrs["idx"]]
     if node.op == "dropout":
         return ins[0]
     if node.op == "add":

@@ -207,6 +207,15 @@ def upsample3d(x: jax.Array, scale_factor: IntOr3) -> jax.Array:
     return jax.image.resize(x, new_shape, method="trilinear")
 
 
+def upsample3d_cf(x: jax.Array, scale_factor: IntOr3) -> jax.Array:
+    """Trilinear upsampling of an NCDHW tensor (channels-first serving tail;
+    see nnir ``upsample_cf``).  Same half-pixel convention as upsample3d."""
+    f = triple(scale_factor)
+    n, c, d, h, w = x.shape
+    new_shape = (n, c, d * f[0], h * f[1], w * f[2])
+    return jax.image.resize(x, new_shape, method="trilinear")
+
+
 def batch_norm(
     x: jax.Array,
     scale: jax.Array,

@@ -40,17 +40,25 @@ def pred_brats(out: jnp.ndarray) -> jnp.ndarray:
     return pred
 
 
-def pred_brats_con_merge(out: jnp.ndarray) -> jnp.ndarray:
+def pred_brats_con_merge(out: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Overlay prediction with conservative channel merging first
     (get_pred_brats_con_merge, utils/metrics.py:195-209) — used for the
-    Qseg/FPseg NIfTI dumps."""
+    Qseg/FPseg NIfTI dumps.
+
+    ``axis``: the class axis (``1`` for the channels-first serving tail,
+    ptq/deploy.py::channels_first_tail)."""
+    axis = axis % out.ndim
     hard = (jax.nn.sigmoid(out) >= 0.5).astype(jnp.int32)
-    merged = [hard[..., 0]]
-    for i in range(1, out.shape[-1]):
-        merged.append(merged[-1] * hard[..., i])
-    pred = jnp.zeros(out.shape[:-1], jnp.int32)
-    for i, ch in enumerate(merged):
-        pred = jnp.where(ch > 0, i + 1, pred)
+
+    def ch(i):
+        return jax.lax.index_in_dim(hard, i, axis=axis, keepdims=False)
+
+    merged = [ch(0)]
+    for i in range(1, out.shape[axis]):
+        merged.append(merged[-1] * ch(i))
+    pred = jnp.zeros(merged[0].shape, jnp.int32)
+    for i, m in enumerate(merged):
+        pred = jnp.where(m > 0, i + 1, pred)
     return pred
 
 

@@ -94,3 +94,143 @@ def to_int8_inference(graph: Graph, variables, pallas: bool = None,
 
             out_graph = fuse_int8_epilogues(out_graph)
     return out_graph, {"params": params, "state": variables.get("state", {})}
+
+
+def channels_first_tail(graph: Graph) -> Graph:
+    """Serving-only rewrite: keep only the FINAL head and emit it NCDHW.
+
+    The classifier head is C=3 channels; every channel-minor pass after it
+    (the 1x1 head conv's write, the trilinear upsample, the full-volume
+    stitch updates) tiles lanes at C=3/128 — ~42x its logical bytes —
+    which profiled at ~9 ms of the 42.6 ms int8 serving graph.  Rewriting
+    the tail to channels-first puts W on the lanes instead: the head conv
+    becomes an einsum emitting (N, C, D, H, W) and the upsample/stitch run
+    with dense tiles.  Consumers take the class axis at dim 1
+    (ptq/attention.py pred helpers accept ``axis``).
+
+    Numerics are unchanged (same contraction, same trilinear weights); the
+    reference has no analogue — its cuDNN NCDHW layout never paid this tax
+    (src/models/model_blk.py:180-186 emits NCDHW natively).
+    """
+    out = graph.outputs[-1]
+    tail_up = None
+    cur = graph.node(out)
+    if cur.op == "upsample":
+        tail_up = cur.name
+        cur = graph.node(cur.inputs[0])
+    a = cur.attrs
+    if not (cur.op == "conv" and a["kernel_size"] == (1, 1, 1)
+            and a["stride"] == (1, 1, 1) and a["padding"] == (0, 0, 0)
+            and a["groups"] == 1 and not a.get("int8")):
+        return graph  # unexpected tail shape: leave the graph unchanged
+    new_nodes = []
+    for n in graph.nodes:
+        if n.name == cur.name:
+            new_nodes.append(dataclasses.replace(n, op="conv_cf",
+                                                 attrs=dict(n.attrs)))
+        elif n.name == tail_up:
+            new_nodes.append(dataclasses.replace(n, op="upsample_cf",
+                                                 attrs=dict(n.attrs)))
+        else:
+            new_nodes.append(n)
+    # aux-head nodes stay in the node list (XLA DCEs them — same mechanism
+    # as final-head-only serving via ``heads=slice(-1, None)``) but the
+    # graph now has the single channels-first output
+    return Graph(new_nodes, [out], graph.input_name)
+
+
+def s2d_stem_serving(graph: Graph, variables):
+    """Serving-only rewrite: run the init conv as the fused space-to-depth
+    Pallas stem (pallas/stem.py).
+
+    Rewrites
+        input -> conv0 (3^3 s2) -> [identity...] -> relu -> {int8 conv,
+                                                             residual uses}
+    into
+        (s2d patches, parities) -> stem_s2d -> (bf16 relu'd, int8 codes)
+    with the relu node becoming a tuple-get on the bf16 branch (so residual
+    consumers are untouched) and the int8 consumer reading the codes branch
+    directly (``input_quantized``).  The model input becomes the
+    (patches, parities) pair produced by pallas.stem.extract_s2d_patches —
+    use it with ``sliding_window_inference(extract_fn=...)``.
+
+    Returns (graph', variables', stem_node) — stem_node is None when the
+    graph doesn't match (rewrite skipped; original graph returned).
+    """
+    skip = (graph, variables, None)
+    stem = next((n for n in graph.nodes
+                 if n.op == "conv" and n.inputs == (graph.input_name,)), None)
+    if stem is None or stem.attrs.get("int8"):
+        return skip
+    a = stem.attrs
+    if not (a["kernel_size"] == (3, 3, 3) and a["stride"] == (2, 2, 2)
+            and a["padding"] == (1, 1, 1) and a["dilation"] == (1, 1, 1)
+            and a["groups"] == 1):
+        return skip
+    # follow the single-consumer identity chain to the relu
+    cur = stem.name
+    relu = None
+    for _ in range(4):
+        users = [n for n in graph.nodes if cur in n.inputs]
+        if len(users) != 1:
+            return skip
+        if users[0].op == "relu":
+            relu = users[0]
+            break
+        if users[0].op != "identity":
+            return skip
+        cur = users[0].name
+    if relu is None:
+        return skip
+    # the int8 codes consumer: a Pallas int8 conv reading the relu as its
+    # data input (other consumers — the ResBlock residual — keep the bf16)
+    consumers = [n for n in graph.nodes if relu.name in n.inputs]
+    codes_users = [n for n in consumers
+                   if n.op == "conv" and n.attrs.get("int8")
+                   and n.attrs.get("pallas") and n.inputs[0] == relu.name
+                   and not n.attrs.get("input_quantized")]
+    if len(codes_users) != 1:
+        return skip
+    consumer = codes_users[0]
+    if any(n is not consumer and n.inputs[0] == relu.name for n in consumers):
+        return skip  # another data-input consumer would need f32, not codes
+
+    from ..pallas.stem import s2d_stem_weights
+
+    params = {k: dict(v) for k, v in variables["params"].items()}
+    sp = params[stem.name]
+    w_even, w_odd = s2d_stem_weights(np.asarray(sp["kernel"], np.float32))
+    bias = sp.get("bias")
+    if bias is None:
+        bias = jnp.zeros((w_even.shape[-1],), jnp.float32)
+    params[stem.name] = {
+        # bf16 weights: serving always runs the stem at compute_dtype, and
+        # the kernel's MXU dots take bf16 operands with f32 accumulation
+        "w_even": jnp.asarray(w_even, jnp.bfloat16),
+        "w_odd": jnp.asarray(w_odd, jnp.bfloat16),
+        "bias": jnp.asarray(bias, jnp.float32),
+        "alpha_next": params[consumer.name]["alpha_act"],
+    }
+    codes_name = stem.name + ".s2d_codes"
+    new_nodes = []
+    for n in graph.nodes:
+        if n.name == stem.name:
+            attrs = dict(n.attrs)
+            attrs["qlvl_next"] = consumer.attrs["qcfg"].qlvl_act
+            new_nodes.append(dataclasses.replace(n, op="stem_s2d",
+                                                 attrs=attrs))
+        elif n.name == relu.name:
+            new_nodes.append(dataclasses.replace(n, op="tuple_get",
+                                                 attrs={"idx": 0}))
+            new_nodes.append(
+                type(n)(codes_name, "tuple_get", n.inputs, {"idx": 1}))
+        elif n.name == consumer.name:
+            attrs = dict(n.attrs)
+            attrs["input_quantized"] = True
+            ins = (codes_name,) + tuple(n.inputs[1:])
+            new_nodes.append(dataclasses.replace(n, inputs=ins, attrs=attrs))
+        else:
+            new_nodes.append(n)
+    g2 = Graph(new_nodes, list(graph.outputs), graph.input_name)
+    return g2, {"params": params,
+                "state": variables.get("state", {})}, g2.node(stem.name)
