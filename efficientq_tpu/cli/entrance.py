@@ -147,6 +147,14 @@ def enable_compilation_cache():
 
     import jax
 
+    # EFFQ_PLATFORM=cpu|tpu pins the backend — the supported way to run
+    # the CLI on a box whose ambient JAX_PLATFORMS points at unreachable
+    # hardware (the env var itself is already consumed by the time this
+    # code runs, for the same site-hook reason as the cache settings)
+    platform = os.environ.get("EFFQ_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     # honor a user-exported JAX_COMPILATION_CACHE_DIR (it may not have been
     # picked up if jax was imported first), defaulting to our cache dir
     jax.config.update(

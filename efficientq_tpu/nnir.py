@@ -226,7 +226,8 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
                 quant_alpha=(params[quant_for]["alpha_act"]
                              if quant_for else None),
                 quant_qlvl=a.get("epilogue_qlvl", 0) if quant_for else 0,
-                x_quantized=bool(a.get("input_quantized")))
+                x_quantized=bool(a.get("input_quantized")),
+                residual_relu=bool(a.get("residual_relu")))
         if a.get("int8"):
             y = fused_int8_matmul(
                 x.reshape(-1, c), p["kernel_int8"].reshape(c, -1),
@@ -267,15 +268,21 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
             kernel = fake_quant_weight(kernel, p["alpha_w"], qcfg.qlvl_w)
     if compute_dtype is not None:
         # low-precision inference: cast operands (quantization error dwarfs
-        # bf16 rounding of the grid values), accumulate and emit f32
+        # bf16 rounding of the grid values), accumulate f32, and EMIT at
+        # compute_dtype — a channel-minor f32 write at the 64^3 stages is a
+        # tile-padded ~1 GB pass; every downstream consumer (act-quant,
+        # adds, pools) re-rounds or tolerates bf16 anyway.  apply() casts
+        # the head outputs back to f32 at the output boundary.
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
         y = ops.conv3d(x, kernel, None, a["stride"], a["padding"],
                        a["dilation"], a["groups"], precision=precision,
                        preferred_element_type=jnp.float32)
-    else:
-        y = ops.conv3d(x, kernel, None, a["stride"], a["padding"],
-                       a["dilation"], a["groups"], precision=precision)
+        if bias is not None:
+            y = y + bias
+        return y.astype(compute_dtype)
+    y = ops.conv3d(x, kernel, None, a["stride"], a["padding"],
+                   a["dilation"], a["groups"], precision=precision)
     if bias is not None:
         y = y + bias
     return y
@@ -405,7 +412,12 @@ def apply(
             # held activation memory for nothing
             captured[node.name] = out
 
-    out = jnp.stack([values[n] for n in graph.outputs], axis=0)
+    outs = [values[n] for n in graph.outputs]
+    if compute_dtype is not None:
+        # external contract: head outputs are f32 regardless of the
+        # internal compute precision (tests/test_compute_dtype.py)
+        outs = [o.astype(jnp.float32) for o in outs]
+    out = jnp.stack(outs, axis=0)
     if capture is not None:
         return out, captured
     if train:

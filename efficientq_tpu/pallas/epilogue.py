@@ -119,5 +119,73 @@ def fuse_int8_epilogues(graph: Graph) -> Graph:
             nodes[nxt.name] = dataclasses.replace(
                 nodes[nxt.name], op="identity", inputs=(last,))
 
+    _elide_relus(graph, nodes)
     return Graph([nodes[n.name] for n in graph.nodes], list(graph.outputs),
                  graph.input_name)
+
+
+def _quant_absorbs_relu(node: Node) -> bool:
+    """The act-quant prologue is round(clip(x/alpha, 0, 1)*(n-1)) — the
+    clip-at-0 IS a relu, so a relu feeding only the quantizer is
+    redundant.  Same eligibility as the quant-epilogue rewrite."""
+    return (node.op == "conv" and node.attrs.get("int8")
+            and not node.attrs.get("input_quantized")
+            and node.attrs.get("qcfg") is not None
+            and node.attrs["qcfg"].q_act
+            and (not node.attrs.get("pallas")
+                 or node.attrs.get("kernel_size") == (3, 3, 3)))
+
+
+def _elide_relus(graph: Graph, nodes: Dict[str, Node]) -> None:
+    """Rewrite #3: delete relu nodes whose every consumer re-applies the
+    relu anyway.
+
+    The ResBlock entry (`block1.relu`) feeds (a) block1.conv's act-quant —
+    whose clip-at-0 is the relu — and (b) block2.conv's residual stream,
+    which the kernel can relu in VMEM (``residual_relu``).  Rewiring both
+    to the relu's input leaves the relu dead: the separate
+    (bf16 relu, int8 codes) dual-output pass over the full stage activation
+    (2.8-3.0 ms at the 64^3 stages) collapses into the quantize-only write,
+    which XLA fuses into the producer.  relu-then-cast equals
+    cast-then-relu for bf16 (monotone, sign-preserving), so the streamed
+    residual is unchanged."""
+    # consumers of the REWRITTEN nodes (rewrites #1/#2 moved edges, e.g.
+    # the residual operand was appended to the conv's inputs)
+    cons: Dict[str, List[str]] = {}
+    for n0 in graph.nodes:
+        for i in nodes[n0.name].inputs:
+            cons.setdefault(i, []).append(n0.name)
+    for o in graph.outputs:
+        cons.setdefault(o, []).append("__output__")
+    for n in graph.nodes:
+        if n.op != "relu" or n.name in graph.outputs:
+            continue
+        users = cons.get(n.name, [])
+        if not users or "__output__" in users:
+            continue
+        rewires = []  # (consumer name, input index)
+        ok = True
+        for uname in users:
+            u = nodes[uname]
+            idxs = [i for i, inp in enumerate(u.inputs) if inp == n.name]
+            for i in idxs:
+                if i == 0 and _quant_absorbs_relu(u):
+                    rewires.append((uname, i, None))
+                elif (i >= 1 and u.attrs.get("residual")
+                        and u.attrs.get("pallas")):
+                    rewires.append((uname, i, "residual_relu"))
+                else:
+                    ok = False
+        if not ok or not rewires:
+            continue
+        src = nodes[n.name].inputs[0]
+        for uname, i, flag in rewires:
+            u = nodes[uname]
+            ins = list(u.inputs)
+            ins[i] = src
+            attrs = u.attrs
+            if flag:
+                attrs[flag] = True
+            nodes[uname] = dataclasses.replace(u, inputs=tuple(ins),
+                                               attrs=attrs)
+        # the relu node stays in the list (XLA dead-code-eliminates it)

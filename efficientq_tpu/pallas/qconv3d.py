@@ -41,7 +41,7 @@ except Exception:  # pragma: no cover
 
 
 def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
-                    has_res, quant_qlvl):
+                    has_res, res_relu, quant_qlvl):
     """refs = tz + 2*dil int8 plane refs, [res_ref], then w_ref, b_ref,
     o_ref.
 
@@ -96,7 +96,13 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
             acc = part if acc is None else acc + part
         y = (acc.astype(jnp.float32) * scale + b_ref[:]).reshape(H, W, -1)
         if has_res:
-            y = y + res_ref[0, z].astype(jnp.float32)
+            r = res_ref[0, z].astype(jnp.float32)
+            if res_relu:
+                # the streamed operand is the PRE-relu stage activation
+                # (pallas/epilogue.py::_elide_relus); relu commutes with the
+                # bf16 cast, so this matches relu-then-stream exactly
+                r = jnp.maximum(r, 0.0)
+            y = y + r
         if quant_qlvl:
             # same op sequence as the XLA act-quant (divide, clip, scale,
             # round) so a f32 producer is bit-exact with the unfused path;
@@ -109,7 +115,8 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
 
 @functools.partial(jax.jit, static_argnames=("qlvl_act", "dilation",
                                              "interpret", "out_dtype",
-                                             "quant_qlvl", "x_quantized"))
+                                             "quant_qlvl", "x_quantized",
+                                             "residual_relu"))
 def qconv3x3_int8_ndhwc(
     x: jax.Array,
     w_codes: jax.Array,
@@ -124,6 +131,7 @@ def qconv3x3_int8_ndhwc(
     quant_alpha=None,
     quant_qlvl: int = 0,
     x_quantized: bool = False,
+    residual_relu: bool = False,
 ) -> jax.Array:
     """y = conv3d(int8_codes(x), w_codes) * scale + bias, stride 1,
     padding = dilation ('same'), one fused Pallas program per output plane.
@@ -201,11 +209,15 @@ def qconv3x3_int8_ndhwc(
             x, w_codes, bias, alpha_act, scale, qlvl_act, dilation=dilation,
             interpret=interpret, out_dtype=out_dtype,
             x_quantized=x_quantized)
-        return y + residual.astype(y.dtype)
+        res = residual.astype(y.dtype)
+        if residual_relu:
+            res = jnp.maximum(res, 0)
+        return y + res
 
     kernel = functools.partial(_qconv3d_kernel, H=h, W=w_sp, D=d, dil=dil,
                                tz=tz, out_dtype=out_dtype,
                                has_res=residual is not None,
+                               res_relu=residual_relu,
                                quant_qlvl=quant_qlvl)
     # z taps clamped into range; the kernel masks the out-of-range ones
     plane_spec = [

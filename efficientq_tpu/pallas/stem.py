@@ -192,8 +192,13 @@ def _stem_kernel(meta_ref, par_ref, *refs, H, W, C8, tz, qlvl, out_dtype):
             d = jnp.dot(cols, w[kd2], preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d
         y = jnp.maximum(acc + b_ref[:], 0.0).reshape(H, W, -1)
-        obf_ref[0, z] = y.astype(out_dtype)
-        q = jnp.clip(y / alpha, 0.0, 1.0) * (qlvl - 1)
+        yd = y.astype(out_dtype)
+        obf_ref[0, z] = yd
+        # quantize the OUT_DTYPE-rounded value: the direct path emits the
+        # stem conv at compute_dtype (nnir._eval_conv) and the consumer
+        # quantizes that, so rounding first keeps the codes bit-identical
+        # (no-op at f32)
+        q = jnp.clip(yd.astype(jnp.float32) / alpha, 0.0, 1.0) * (qlvl - 1)
         os8_ref[0, z] = jnp.round(q).astype(jnp.int8)
 
 

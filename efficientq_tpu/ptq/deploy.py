@@ -167,33 +167,40 @@ def s2d_stem_serving(graph: Graph, variables):
             and a["padding"] == (1, 1, 1) and a["dilation"] == (1, 1, 1)
             and a["groups"] == 1):
         return skip
-    # follow the single-consumer identity chain to the relu
+    # follow the identity chain to the stem's relu.  After
+    # pallas/epilogue.py::_elide_relus the chain end fans out (the relu is
+    # dead and its former consumers read the chain directly), so accept a
+    # fan-out as long as exactly one relu hangs off it.
     cur = stem.name
     relu = None
     for _ in range(4):
         users = [n for n in graph.nodes if cur in n.inputs]
-        if len(users) != 1:
-            return skip
-        if users[0].op == "relu":
-            relu = users[0]
+        relus = [u for u in users if u.op == "relu"]
+        if len(relus) == 1:
+            relu = relus[0]
             break
-        if users[0].op != "identity":
+        if len(users) != 1 or users[0].op != "identity":
             return skip
         cur = users[0].name
     if relu is None:
         return skip
-    # the int8 codes consumer: a Pallas int8 conv reading the relu as its
-    # data input (other consumers — the ResBlock residual — keep the bf16)
-    consumers = [n for n in graph.nodes if relu.name in n.inputs]
-    codes_users = [n for n in consumers
-                   if n.op == "conv" and n.attrs.get("int8")
-                   and n.attrs.get("pallas") and n.inputs[0] == relu.name
+    # the int8 codes consumer: a Pallas int8 conv reading the (possibly
+    # elided — pallas/epilogue.py::_elide_relus) relu as its data input;
+    # every other consumer edge must be a residual stream, which keeps the
+    # bf16 branch
+    taps = {relu.name, cur}
+    edges = [(n, i) for n in graph.nodes if n.name != relu.name
+             for i, inp in enumerate(n.inputs) if inp in taps]
+    codes_edges = [(n, i) for (n, i) in edges
+                   if i == 0 and n.op == "conv" and n.attrs.get("int8")
+                   and n.attrs.get("pallas")
                    and not n.attrs.get("input_quantized")]
-    if len(codes_users) != 1:
+    if len(codes_edges) != 1:
         return skip
-    consumer = codes_users[0]
-    if any(n is not consumer and n.inputs[0] == relu.name for n in consumers):
-        return skip  # another data-input consumer would need f32, not codes
+    consumer = codes_edges[0][0]
+    res_edges = [(n, i) for (n, i) in edges if n is not consumer]
+    if any(i == 0 or not n.attrs.get("residual") for (n, i) in res_edges):
+        return skip  # a non-residual consumer would need the float value
 
     from ..pallas.stem import s2d_stem_weights
 
@@ -227,8 +234,16 @@ def s2d_stem_serving(graph: Graph, variables):
         elif n.name == consumer.name:
             attrs = dict(n.attrs)
             attrs["input_quantized"] = True
-            ins = (codes_name,) + tuple(n.inputs[1:])
+            ins = (codes_name,) + tuple(
+                relu.name if inp in taps else inp for inp in n.inputs[1:])
             new_nodes.append(dataclasses.replace(n, inputs=ins, attrs=attrs))
+        elif any(m is n for (m, _) in res_edges):
+            # residual streams read the bf16 branch (the tuple-get that
+            # replaced the relu); an existing residual_relu flag is
+            # harmless — relu is idempotent
+            ins = tuple(relu.name if inp in taps else inp for inp in n.inputs)
+            new_nodes.append(dataclasses.replace(n, inputs=ins,
+                                                 attrs=dict(n.attrs)))
         else:
             new_nodes.append(n)
     g2 = Graph(new_nodes, list(graph.outputs), graph.input_name)

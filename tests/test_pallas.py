@@ -190,6 +190,41 @@ def test_qconv3x3_epilogues_match_oracles():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_relu_elision_structure_and_parity():
+    """fuse_int8_epilogues rewrite #3: a relu whose consumers are (a) an
+    int8 conv's act-quant (clip-at-0 == relu) and (b) a fused residual
+    stream gets elided — consumers read the pre-relu value, the residual
+    conv gains ``residual_relu``, and the relu node goes dead.  Output must
+    stay bit-exact vs the unfused int8 graph (f32 interpret mode)."""
+    from efficientq_tpu import nnir
+    from efficientq_tpu.ptq.deploy import to_int8_inference
+
+    fg, fv = _tiny_q_model()
+    ig, iv = to_int8_inference(fg, fv, pallas=True, fuse_epilogues=False)
+    igf, ivf = to_int8_inference(fg, fv, pallas=True, fuse_epilogues=True)
+
+    cons = {}
+    for n in igf.nodes:
+        for i in n.inputs:
+            cons.setdefault(i, []).append(n.name)
+    dead_relus = [n.name for n in igf.nodes
+                  if n.op == "relu" and not cons.get(n.name)]
+    nrr = sum(1 for n in igf.nodes if n.attrs.get("residual_relu"))
+    assert dead_relus, "expected at least one elided ResBlock-entry relu"
+    assert nrr >= 1, "expected a residual_relu-flagged fused conv"
+    for n in igf.nodes:
+        if n.attrs.get("residual_relu"):
+            assert n.attrs.get("residual") and n.attrs.get("pallas")
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 2).astype(np.float32))
+    ref = nnir.apply(ig, iv, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    got = nnir.apply(igf, ivf, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_epilogue_fusion_graph_parity():
     """fuse_int8_epilogues: structural rewrites + bit-exact whole-net
     output vs the unfused int8 deploy graph (f32, interpret mode)."""
