@@ -103,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lwq_rho_max", type=float, default=1000.0)
     parser.add_argument("--lwq_eta", type=float, default=1.0)
     parser.add_argument("--lwq_verbose", action="store_true")
+    # ours: block-granularity calibration (the functional realization of
+    # the reference's aspirational PTQBlock, src/models/PTQBlock.py:48-49)
+    parser.add_argument("--lwq_granularity", default="layer",
+                        choices=["layer", "block"],
+                        help="'block' calibrates each ResBlock's exit conv "
+                             "against the block's FP output (absorbs "
+                             "in-block quantization error)")
     # whole-network alpha_act refinement after the per-layer sweep — the
     # reference implements this but never calls it (src/ptqer.py:238-272);
     # measured +0.002 dice at W2A2 (BASELINE.md). 0 = off, N = Adam iters.

@@ -215,7 +215,8 @@ def ptq(args):
     fgraph, qvars, report = run_ptq(
         graph, variables, calib_x, task=args.task,
         init_stride=definer.parse_triple(args.init_stride), hp=hp,
-        verbose=args.lwq_verbose, mesh=mesh)
+        verbose=args.lwq_verbose, mesh=mesh,
+        granularity=getattr(args, "lwq_granularity", "layer"))
 
     if getattr(args, "tune_act", 0):
         # joint alpha_act refinement on the calibration volume

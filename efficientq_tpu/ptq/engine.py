@@ -62,6 +62,63 @@ class PTQReport:
         return f"{total / 60:.3f} min."
 
 
+_VALUE_PRESERVING = ("identity", "dropout")  # dropout is identity in eval
+
+
+def block_calibration_targets(graph: Graph) -> Dict[str, Tuple[str, str]]:
+    """Block-granularity calibration map: {conv_name: (add_name,
+    residual_name)} for every qconv whose output reaches a two-operand
+    residual add through value-preserving glue, with the residual operand
+    produced BEFORE the conv.
+
+    The reference scaffolds block-level PTQ (src/models/PTQBlock.py:6-68)
+    but leaves `ptq` NotImplementedError and never instantiates the class.
+    Here the idea is realized with the existing per-layer machinery: since
+    the residual add is LINEAR, minimizing the block output error
+
+        || add_fp - (conv(x_q) + residual_q) ||^2
+
+    over the conv's quantized weights is the SAME quadratic problem as the
+    layer-wise one with the regression target shifted to
+    ``add_fp - residual_q`` — so the exit conv of each ResBlock can absorb
+    the quantization error of everything inside the block (entry relu +
+    first conv), BRECQ-style, at zero extra solver cost.
+
+    Eligibility requires every hop conv -> add to be single-consumer and
+    value-preserving (mid/pre block orderings after fold_bn; 'post' blocks
+    have a relu between conv and add and fall back to layer-wise).
+    """
+    cons: Dict[str, List[str]] = {}
+    nodes = {n.name: n for n in graph.nodes}
+    for n in graph.nodes:
+        for i in n.inputs:
+            cons.setdefault(i, []).append(n.name)
+    for o in graph.outputs:
+        cons.setdefault(o, []).append("__output__")
+    order = {n.name: i for i, n in enumerate(graph.nodes)}
+
+    out: Dict[str, Tuple[str, str]] = {}
+    for node in graph.qconv_nodes():
+        if not node.attrs["qcfg"].q_weight:
+            continue
+        cur = node.name
+        for _ in range(4):
+            cs = cons.get(cur, [])
+            if len(cs) != 1 or cs[0] == "__output__":
+                break
+            nxt = nodes[cs[0]]
+            if nxt.op in _VALUE_PRESERVING:
+                cur = nxt.name
+                continue
+            if nxt.op == "add" and len(nxt.inputs) == 2 and cur in nxt.inputs:
+                other = [i for i in nxt.inputs if i != cur]
+                if len(other) == 1 and order.get(other[0], 1 << 30) \
+                        < order[node.name]:
+                    out[node.name] = (nxt.name, other[0])
+            break
+    return out
+
+
 def _layer_kw(node, qcfg, p, hp):
     """The static calibrate_layer kwargs for one qconv — shared by the
     sweep and the AOT precompiler so their program signatures agree."""
@@ -150,6 +207,7 @@ def run_ptq(
     fold: bool = True,
     verbose: bool = False,
     mesh=None,
+    granularity: str = "layer",
 ):
     """Calibrate every qconv of ``graph`` on one NDHWC calibration batch.
 
@@ -163,14 +221,28 @@ def run_ptq(
     (parallel/ptq.py::calibrate_layer_sharded): no device materializes more
     than its output-depth slab of the im2col, and one psum merges the
     statistics over ICI.
+
+    ``granularity='block'`` calibrates each ResBlock's exit conv against
+    the block's FP output instead of its own (block_calibration_targets):
+    the residual structure turns block-level reconstruction into the same
+    per-layer quadratic with a shifted target, so the exit conv absorbs
+    the in-block quantization error.  Ineligible convs fall back to
+    layer-wise.
     """
+    if granularity not in ("layer", "block"):
+        raise ValueError(f"granularity must be 'layer' or 'block', "
+                         f"got {granularity!r}")
     if fold:
         graph, variables = fold_bn(graph, variables)
     params = {k: dict(v) for k, v in variables["params"].items()}
     state = variables.get("state", {})
 
+    block_targets = (block_calibration_targets(graph)
+                     if granularity == "block" else {})
     qnodes = graph.qconv_nodes()
     capture = [n.name for n in qnodes]
+    capture += sorted({a for a, _ in block_targets.values()
+                       if a not in capture})
 
     t0 = time.time()
 
@@ -272,6 +344,14 @@ def run_ptq(
             p = params[node.name]
             x_in = ins[0]
             y_fp = captured[node.name]
+            if node.name in block_targets:
+                # block granularity: regression target = FP block output
+                # minus the QUANTIZED residual stream, so this conv absorbs
+                # the block's accumulated error (the add is linear; see
+                # block_calibration_targets).  The reported layer loss is
+                # then the block-output loss.
+                add_name, res_name = block_targets[node.name]
+                y_fp = captured[add_name] - values[res_name]
             t_layer = time.time()
             if verbose:
                 print(f"Calibrating {node.name}")

@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--subjects", type=int, default=8)
     ap.add_argument("--admm_iter", type=int, default=200)
+    ap.add_argument("--granularity", default="layer",
+                    choices=["layer", "block"],
+                    help="PTQ calibration granularity (block = ResBlock "
+                         "exit convs absorb in-block error)")
     ap.add_argument("--tune_act", type=int, default=0,
                     help="post-PTQ end-to-end alpha_act Adam iterations")
     ap.add_argument("--width", type=str, default=None,
@@ -129,7 +133,8 @@ def main():
         t0 = time.time()
         fg, fv, report = run_ptq(
             qgraph, qvars, calib_x, task="lits", init_stride=init_stride,
-            hp=PTQHyperParams(admm_iter=args.admm_iter))
+            hp=PTQHyperParams(admm_iter=args.admm_iter),
+            granularity=args.granularity)
         calib_sec = time.time() - t0
         q_dice = mean_fg_dice(fg, fv, hub, n_mo, "quantized")
         delta = fp_dice - q_dice
