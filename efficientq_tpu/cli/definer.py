@@ -221,7 +221,8 @@ def get_lwq_hyperparams(args):
         admm_iter=getattr(args, "lwq_iter", 200) or 200,
         rho=getattr(args, "lwq_rho", 10.0) or 10.0,
         rho_max=getattr(args, "lwq_rho_max", 1000.0) or 1000.0,
-        eta=getattr(args, "lwq_eta", 1.0) or 1.0)
+        eta=getattr(args, "lwq_eta", 1.0) or 1.0,
+        channel_wise=bool(getattr(args, "channel_wise", False)))
 
 
 def make_snapshot_dir(args, exp_kind: str, model_info: str, qinfo: str) -> str:

@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="'block' calibrates each ResBlock's exit conv "
                              "against the block's FP output (absorbs "
                              "in-block quantization error)")
+    # ours: per-output-channel alpha_w (the 'channel_wise' the reference's
+    # PTQBlock reads but no PTQConv defines, src/models/PTQBlock.py:15)
+    parser.add_argument("--channel_wise", action="store_true",
+                        help="per-output-channel weight scales in the ADMM "
+                             "projection and the int8 deployment epilogue")
     # whole-network alpha_act refinement after the per-layer sweep — the
     # reference implements this but never calls it (src/ptqer.py:238-272);
     # measured +0.002 dice at W2A2 (BASELINE.md). 0 = off, N = Adam iters.

@@ -309,7 +309,7 @@ def _save_quantized(graph, variables, snap_dir):
         if not qcfg.q_weight:
             continue
         w = sd[f"{node.name}.weight"]
-        alpha = float(sd[f"{node.name}.alpha_w"])
+        alpha = np.asarray(sd[f"{node.name}.alpha_w"])
         sd_int[f"{node.name}.weight"] = pack_int_weight(w, alpha, qcfg.qlvl_w)
     with open(P.join(snap_dir, "state_in_int8.pkl"), "wb") as f:
         pickle.dump({"state_dict": sd_int}, f)

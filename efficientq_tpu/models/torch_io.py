@@ -58,8 +58,11 @@ def load_torch_state_dict(graph: Graph, variables, state_dict: Mapping, strict=F
                     params[node.name]["bias"] = jnp.asarray(b.astype(np.float32))
             for alpha in ("alpha_w", "alpha_act"):
                 if alpha in params[node.name] and f"{node.name}.{alpha}" in sd:
+                    a = np.asarray(sd[f"{node.name}.{alpha}"], np.float32)
+                    # reference alphas are 0-d/1-element tensors; ours may
+                    # be per-output-channel vectors (channel_wise)
                     params[node.name][alpha] = jnp.asarray(
-                        sd[f"{node.name}.{alpha}"].astype(np.float32).reshape(()))
+                        a.reshape(()) if a.size == 1 else a)
         elif node.op == "bn":
             m = {"scale": "weight", "bias": "bias"}
             for ours, theirs in m.items():
@@ -112,7 +115,7 @@ def load_int8_checkpoint(graph: Graph, variables, path: str):
             continue
         w = np.asarray(sd[key])
         if w.dtype in (np.uint8, np.int32):
-            alpha = float(np.asarray(sd[f"{node.name}.alpha_w"]))
+            alpha = np.asarray(sd[f"{node.name}.alpha_w"])
             sd[key] = unpack_int_weight(w, alpha, qcfg.qlvl_w)
     return load_torch_state_dict(graph, variables, sd)
 

@@ -67,8 +67,11 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
     plane_refs = refs[:tz + 2 * dil]
     rest = refs[tz + 2 * dil:]
     res_ref = rest[0] if has_res else None
-    w_ref, b_ref, o_ref = rest[1 if has_res else 0:]
-    scale = scale_ref[0]
+    w_ref, sb_ref, o_ref = rest[1 if has_res else 0:]
+    # sb_ref: (2, O) f32 — row 0 the scale (per-tensor broadcast or
+    # per-output-channel under channel_wise), row 1 the bias.  Elementwise
+    # f32 multiply, so the broadcast form is bit-identical to the old
+    # scalar-SMEM scale.
     zi = pl.program_id(1)
     # H/W halo in VMEM, once per fetched plane (shared by its (z, kd) uses)
     padded = [jnp.pad(p[0, 0], ((dil, dil), (dil, dil), (0, 0)))
@@ -94,7 +97,7 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
             z_in = zi * tz + z + (kd - 1) * dil
             part = jnp.where((z_in >= 0) & (z_in <= D - 1), part, 0)
             acc = part if acc is None else acc + part
-        y = (acc.astype(jnp.float32) * scale + b_ref[:]).reshape(H, W, -1)
+        y = (acc.astype(jnp.float32) * sb_ref[0] + sb_ref[1]).reshape(H, W, -1)
         if has_res:
             r = res_ref[0, z].astype(jnp.float32)
             if res_relu:
@@ -106,8 +109,8 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
         if quant_qlvl:
             # same op sequence as the XLA act-quant (divide, clip, scale,
             # round) so a f32 producer is bit-exact with the unfused path;
-            # scale_ref[1] = the consumer's alpha_act
-            q = jnp.clip(y / scale_ref[1], 0.0, 1.0) * (quant_qlvl - 1)
+            # scale_ref[0] = the consumer's alpha_act
+            q = jnp.clip(y / scale_ref[0], 0.0, 1.0) * (quant_qlvl - 1)
             o_ref[0, z] = jnp.round(q).astype(jnp.int8)
         else:
             o_ref[0, z] = y.astype(out_dtype)
@@ -170,12 +173,14 @@ def qconv3x3_int8_ndhwc(
     # per-(kd, kh) im2col weight layout: (kw, C) rows, matching the
     # kernel's kw-minor concat of C-column slices
     w_mat = w_codes.reshape(3, 3, 3 * c, o)
-    bias2d = bias.reshape(1, o)
-    # scale vector in SMEM: [epilogue scale, alpha_next]
+    # (2, O) VMEM row pair: [scale, bias].  scale may be per-tensor
+    # (broadcast) or per-output-channel (channel_wise deploy)
+    sb = jnp.stack([jnp.broadcast_to(
+        jnp.asarray(scale, jnp.float32), (o,)), bias.astype(jnp.float32)])
+    # SMEM meta: the consumer's alpha_act for the quant epilogue
     qalpha = (jnp.asarray(quant_alpha, jnp.float32) if quant_qlvl
               else jnp.float32(1.0))
-    scale1 = jnp.stack([jnp.asarray(scale, jnp.float32).reshape(()),
-                        qalpha.reshape(())])
+    scale1 = qalpha.reshape(1)
     hp, wp = h + 2 * dil, w_sp + 2 * dil
     out_bytes = 1 if quant_qlvl else jnp.dtype(out_dtype).itemsize
     res_bytes = jnp.dtype(residual.dtype).itemsize if residual is not None else 0
@@ -235,16 +240,16 @@ def qconv3x3_int8_ndhwc(
         grid=(n, d // tz),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM) if _HAS_PLTPU and not interpret
-            else pl.BlockSpec((2,), lambda ni, zi: (0,)),
+            else pl.BlockSpec((1,), lambda ni, zi: (0,)),
             *plane_spec,
             *res_spec,
             pl.BlockSpec((3, 3, 3 * c, o), lambda ni, zi: (0, 0, 0, 0)),
-            pl.BlockSpec((1, o), lambda ni, zi: (0, 0)),
+            pl.BlockSpec((2, o), lambda ni, zi: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tz, h, w_sp, o),
                                lambda ni, zi: (ni, zi, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (n, d, h, w_sp, o), jnp.int8 if quant_qlvl else out_dtype),
         interpret=interpret,
-    )(scale1, *([qa] * (tz + 2 * dil)), *res_arg, w_mat, bias2d)
+    )(scale1, *([qa] * (tz + 2 * dil)), *res_arg, w_mat, sb)
     return out

@@ -104,11 +104,12 @@ def _int8_qact_matmul_kernel(scales_ref, x_ref, w_ref, b_ref, o_ref, *,
     int8 x int8 matmul with int32 accumulation on the MXU, f32 scale + bias
     epilogue (ptq/deploy.py semantics — bit-exact vs fake-quant)."""
     alpha_act = scales_ref[0]
-    scale = scales_ref[1]  # alpha_act * alpha_w / ((na-1)(nw-1))
     qa = jnp.clip(x_ref[:] / alpha_act, 0.0, 1.0) * (qlvl_act - 1)
     qa = jnp.round(qa).astype(jnp.int8)
     acc = jnp.dot(qa, w_ref[:], preferred_element_type=jnp.int32)
-    o_ref[:] = acc.astype(jnp.float32) * scale + b_ref[:]
+    # b_ref: (2, N) — row 0 the scale alpha_act*alpha_w/((na-1)(nw-1))
+    # (per-tensor broadcast or per-output-channel), row 1 the bias
+    o_ref[:] = acc.astype(jnp.float32) * b_ref[0] + b_ref[1]
 
 
 @functools.partial(jax.jit, static_argnames=("qlvl_act", "tile_m", "interpret"))
@@ -137,9 +138,12 @@ def fused_int8_matmul(
     Kp = _round_up(K, 128)
     xp = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
     wp = jnp.pad(w_codes, ((0, Kp - K), (0, Np - N)))
-    bp = jnp.pad(bias, (0, Np - N))[None, :]
-    scales = jnp.stack([jnp.asarray(alpha_act, jnp.float32),
-                        jnp.asarray(scale, jnp.float32)])
+    # (2, Np) scale+bias rows (scale per-tensor broadcast or per-channel)
+    bp = jnp.stack([
+        jnp.pad(jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (N,)),
+                (0, Np - N)),
+        jnp.pad(bias.astype(jnp.float32), (0, Np - N))])
+    scales = jnp.asarray(alpha_act, jnp.float32).reshape(1)
 
     grid = (Mp // tile_m,)
     kernel = functools.partial(_int8_qact_matmul_kernel, qlvl_act=qlvl_act)
@@ -148,10 +152,10 @@ def fused_int8_matmul(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM) if _HAS_PLTPU and not interpret
-            else pl.BlockSpec((2,), lambda i: (0,)),
+            else pl.BlockSpec((1,), lambda i: (0,)),
             pl.BlockSpec((tile_m, Kp), lambda i: (i, 0)),
             pl.BlockSpec((Kp, Np), lambda i: (0, 0)),
-            pl.BlockSpec((1, Np), lambda i: (0, 0)),
+            pl.BlockSpec((2, Np), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tile_m, Np), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),

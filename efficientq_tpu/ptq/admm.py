@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..quant import project_by_iter
+from ..quant import project_by_iter, project_by_iter_rows
 from .solver import (GramStats, compute_gram_stats, flat_to_kernel,
                      kernel_to_flat, make_ranking_mse, make_system,
                      quadratic_mse, solve_proximal)
@@ -40,6 +40,9 @@ class PTQHyperParams:
     eta: float = 1.0
     mu: float = 0.0
     rho_update_interval: int = 50
+    # per-output-channel alpha_w (the 'channel_wise' the reference's
+    # PTQBlock reads but no PTQConv ever defines, src/models/PTQBlock.py:15)
+    channel_wise: bool = False
 
 
 def rho_segments(hp: PTQHyperParams) -> List[Tuple[float, int, float]]:
@@ -107,7 +110,16 @@ def admm_quantize(
     bestG = w_flat0
     bestB = bias0 if bias0 is not None else jnp.zeros((c2,), w_flat0.dtype)
     bestLoss = jnp.float32(jnp.inf)
-    bestA = jnp.float32(1.0)
+    bestA = (jnp.ones((c2,), jnp.float32) if hp.channel_wise
+             else jnp.float32(1.0))
+
+    def project(v):
+        """(alpha, alpha*codes): per-tensor or per-output-channel scale."""
+        if hp.channel_wise:
+            a_w, b_w = project_by_iter_rows(v, qlvl_w, -1.0, 1.0)
+            return a_w, a_w[:, None] * b_w
+        a_w, b_w = project_by_iter(v, qlvl_w, -1.0, 1.0)
+        return a_w, a_w * b_w
 
     def ext(Gw, b):
         if has_bias:
@@ -148,8 +160,7 @@ def admm_quantize(
             act = i < n_act
             w_star, b_star = solve_proximal(chol, stats, rho, eta, G - dual,
                                             W0_ext)
-            a_w, b_w = project_by_iter(w_star + dual, qlvl_w, -1.0, 1.0)
-            G_new = a_w * b_w
+            a_w, G_new = project(w_star + dual)
             dual_new = w_star - G_new + dual
             loss = loss_fn(G_new, b_star)
             better = act & (loss < bestLoss)

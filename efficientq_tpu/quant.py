@@ -17,6 +17,8 @@ float64 NumPy oracle).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,6 +85,25 @@ def project_by_iter(var, num_lvl, lo=-1.0, hi=1.0, tol=1e-5, max_iter=None):
     return a, b.astype(var.dtype)
 
 
+def project_by_iter_rows(var2d, num_lvl, lo=-1.0, hi=1.0, tol=1e-5,
+                         max_iter=None):
+    """Per-row :func:`project_by_iter`: jointly optimal (a_i, b_i) for each
+    row of ``var2d ~= a[:, None] * b``.
+
+    The per-output-channel weight scale ('channel_wise') the reference
+    aspires to but never implements (src/models/PTQBlock.py:15 reads a
+    ``channel_wise`` attr no PTQConv defines).  Each row's alternating
+    minimization is independent; under vmap the while_loop runs until the
+    slowest row converges, with converged rows' updates masked by their own
+    tolerance check.
+
+    Returns (a (R,), b (R, K)).
+    """
+    f = functools.partial(project_by_iter, num_lvl=num_lvl, lo=lo, hi=hi,
+                          tol=tol, max_iter=max_iter)
+    return jax.vmap(f)(var2d)
+
+
 def fake_quant_weight(w, alpha_w, num_lvl):
     """Symmetric weight fake-quant: clip(w/a, -1, 1) on the grid, times a.
 
@@ -105,12 +126,23 @@ def pack_int_weight(qweight, alpha_w, num_lvl):
 
     uint8 for <=256 levels, int32 otherwise.
     Mirrors PTQConv.store_int_weight (src/models/PTQConv.py:125-142).
+    ``alpha_w`` may be a scalar or a per-output-channel vector
+    (channel_wise); weights are torch-layout (O, I, D, H, W).
     """
-    b = np.asarray(qweight) / float(alpha_w)
+    b = np.asarray(qweight) / _alpha_bcast(alpha_w, np.asarray(qweight).ndim)
     delta = 2.0 / (num_lvl - 1)
     w_int = np.round((b + 1.0) / delta)
     dtype = np.uint8 if num_lvl <= 256 else np.int32
     return w_int.astype(dtype)
+
+
+def _alpha_bcast(alpha_w, ndim):
+    """Scalar alpha -> float; vector alpha -> broadcast against the
+    leading (output-channel) axis of a torch-layout weight."""
+    a = np.asarray(alpha_w, np.float64)
+    if a.ndim == 0:
+        return float(a)
+    return a.reshape((-1,) + (1,) * (ndim - 1))
 
 
 def unpack_int_weight(w_int, alpha_w, num_lvl, dtype=np.float32):
@@ -120,7 +152,7 @@ def unpack_int_weight(w_int, alpha_w, num_lvl, dtype=np.float32):
     """
     delta = 2.0 / (num_lvl - 1)
     b = np.asarray(w_int).astype(dtype) * delta - 1.0
-    return (float(alpha_w) * b).astype(dtype)
+    return (_alpha_bcast(alpha_w, b.ndim) * b).astype(dtype)
 
 
 def project_by_iter_np(var, num_lvl, lo=-1.0, hi=1.0, tol=1e-5):

@@ -63,6 +63,8 @@ def main():
                     choices=["layer", "block"],
                     help="PTQ calibration granularity (block = ResBlock "
                          "exit convs absorb in-block error)")
+    ap.add_argument("--channel_wise", action="store_true",
+                    help="per-output-channel weight scales")
     ap.add_argument("--tune_act", type=int, default=0,
                     help="post-PTQ end-to-end alpha_act Adam iterations")
     ap.add_argument("--width", type=str, default=None,
@@ -133,7 +135,8 @@ def main():
         t0 = time.time()
         fg, fv, report = run_ptq(
             qgraph, qvars, calib_x, task="lits", init_stride=init_stride,
-            hp=PTQHyperParams(admm_iter=args.admm_iter),
+            hp=PTQHyperParams(admm_iter=args.admm_iter,
+                              channel_wise=args.channel_wise),
             granularity=args.granularity)
         calib_sec = time.time() - t0
         q_dice = mean_fg_dice(fg, fv, hub, n_mo, "quantized")
