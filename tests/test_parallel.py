@@ -212,6 +212,35 @@ def test_calibrate_layer_sharded_matches_single_device():
         assert abs(float(rs["alpha_act"]) - float(r1["alpha_act"])) < 1e-5
 
 
+def test_calibrate_layer_sharded_channel_wise_parity():
+    """Mesh-sharded calibration with per-channel alpha_w: identical grids
+    and per-channel scales vs the single-device program (channel_wise
+    flows through hp into the shared calibrate_from_stats)."""
+    from efficientq_tpu import ops
+    from efficientq_tpu.parallel.ptq import calibrate_layer_sharded
+    from efficientq_tpu.ptq.admm import PTQHyperParams, calibrate_layer
+
+    mesh = make_mesh()
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(np.abs(rng.randn(1, 16, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 6).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.randn(6).astype(np.float32) * 0.05)
+    y = ops.conv3d(x, k, b, (1, 1, 1), (1, 1, 1), (1, 1, 1),
+                   precision=jax.lax.Precision.HIGHEST)
+    att = jnp.asarray(rng.rand(*y.shape[:-1]).astype(np.float32))
+    kw = dict(ksize=(3, 3, 3), stride=(1, 1, 1), padding=(1, 1, 1),
+              dilation=(1, 1, 1), qlvl_w=4, has_bias=True,
+              hp=PTQHyperParams(admm_iter=20, channel_wise=True), qlvl_act=4)
+    r1 = calibrate_layer(x, y, k, b, att, **kw)
+    rs = calibrate_layer_sharded(mesh, x, y, k, b, att, **kw)
+    a1 = np.asarray(r1["alpha_w"])
+    assert a1.shape == (6,)
+    g1 = np.round(np.asarray(r1["kernel"]) / a1 * 3)
+    gs = np.round(np.asarray(rs["kernel"]) / np.asarray(rs["alpha_w"]) * 3)
+    np.testing.assert_array_equal(gs, g1)
+    np.testing.assert_allclose(np.asarray(rs["alpha_w"]), a1, atol=1e-5)
+
+
 def test_run_ptq_with_mesh_matches_single_device(tmp_path):
     """run_ptq(mesh=...) end-to-end == single-device at W16A16 (fine
     enough that iterate/alpha selection has no near-ties to flip)."""
