@@ -19,6 +19,14 @@ import time
 sys.path.insert(0, P.dirname(P.dirname(P.abspath(__file__))))
 
 import jax
+
+# EFFQ_PLATFORM=cpu|tpu pins the backend before any device touch (same
+# contract as cli/entrance.py — the ambient sitecustomize ignores
+# JAX_PLATFORMS, so jax.config is the only reliable pin).
+import os
+if os.environ.get("EFFQ_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["EFFQ_PLATFORM"])
+
 import numpy as np
 
 from efficientq_tpu import nnir
@@ -67,6 +75,14 @@ def main():
                     help="per-output-channel weight scales")
     ap.add_argument("--tune_act", type=int, default=0,
                     help="post-PTQ end-to-end alpha_act Adam iterations")
+    ap.add_argument("--calib_subjects", type=int, default=1,
+                    help="calibration volumes stacked into the batch "
+                         "(reference --lwq_batchsz analogue)")
+    ap.add_argument("--calib_offset", type=int, default=0,
+                    help="skip this many sequential subjects before taking "
+                         "the calibration batch (reference --lwq_dataid "
+                         "analogue; use to measure calibration-choice "
+                         "variance)")
     ap.add_argument("--width", type=str, default=None,
                     help="comma-separated stage widths override")
     ap.add_argument("--vol", type=int, default=32, help="synthetic volume side")
@@ -114,10 +130,14 @@ def main():
     fp_dice = mean_fg_dice(graph, tr.variables, hub, n_mo, "fp")
     print(f"FP foreground dice: {fp_dice:.4f}")
 
-    # calibration volume: first sequential train subject, full 32^3
+    # calibration volumes: first N sequential train subjects, full 32^3
     hub.trainseqloader.dataset.use_fix_transform()
-    img, _ = next(iter(hub.trainseqloader))
-    calib_x = ops.ncdhw_to_ndhwc(jnp.asarray(img))
+    seq = iter(hub.trainseqloader)
+    for _ in range(args.calib_offset):
+        next(seq)
+    imgs = [next(seq)[0] for _ in range(args.calib_subjects)]
+    calib_x = ops.ncdhw_to_ndhwc(jnp.concatenate(
+        [jnp.asarray(im) for im in imgs], axis=0))
 
     results = {"fp_dice": fp_dice, "train_seconds": train_sec,
                "epochs": args.epochs, "settings": {}}
