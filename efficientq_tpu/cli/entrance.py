@@ -115,6 +115,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--channel_wise", action="store_true",
                         help="per-output-channel weight scales in the ADMM "
                              "projection and the int8 deployment epilogue")
+    # ours: sensitivity-driven mixed precision (engine.run_ptq_mixed) — a
+    # first pass ranks layers by relative reconstruction loss, a second
+    # recalibrates the worst fraction at --mixed_qlvl.  Serving cost is
+    # unchanged (any grid <= 256 levels packs into the same int8 codes).
+    parser.add_argument("--mixed_frac", type=float, default=0.0,
+                        help="fraction of most-sensitive layers to lift to "
+                             "--mixed_qlvl (0 = uniform precision)")
+    parser.add_argument("--mixed_qlvl", type=int, default=16,
+                        help="quantization levels for the lifted layers "
+                             "(16 = 4-bit)")
     # whole-network alpha_act refinement after the per-layer sweep — the
     # reference implements this but never calls it (src/ptqer.py:238-272);
     # measured +0.002 dice at W2A2 (BASELINE.md). 0 = off, N = Adam iters.

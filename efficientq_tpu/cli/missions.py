@@ -212,11 +212,23 @@ def ptq(args):
                     mesh=mesh)
 
     hp = definer.get_lwq_hyperparams(args)
-    fgraph, qvars, report = run_ptq(
-        graph, variables, calib_x, task=args.task,
-        init_stride=definer.parse_triple(args.init_stride), hp=hp,
-        verbose=args.lwq_verbose, mesh=mesh,
+    ptq_kw = dict(
+        task=args.task, init_stride=definer.parse_triple(args.init_stride),
+        hp=hp, verbose=args.lwq_verbose, mesh=mesh,
         granularity=getattr(args, "lwq_granularity", "layer"))
+    mixed_frac = getattr(args, "mixed_frac", 0.0)
+    if mixed_frac:
+        # sensitivity-driven mixed precision: two-pass recalibration with
+        # the worst layers lifted to --mixed_qlvl (ptq/engine.run_ptq_mixed)
+        from ..ptq import run_ptq_mixed
+
+        fgraph, qvars, report = run_ptq_mixed(
+            graph, variables, calib_x, mixed_frac=mixed_frac,
+            mixed_qlvl=args.mixed_qlvl, **ptq_kw)
+        print(f"mixed precision: {len(report.mixed_upgraded)} layers at "
+              f"qlvl {args.mixed_qlvl}: {', '.join(report.mixed_upgraded)}")
+    else:
+        fgraph, qvars, report = run_ptq(graph, variables, calib_x, **ptq_kw)
 
     if getattr(args, "tune_act", 0):
         # joint alpha_act refinement on the calibration volume

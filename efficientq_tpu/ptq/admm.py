@@ -266,6 +266,13 @@ def calibrate_from_stats(
     out_q = ops.conv3d(x_q, kernel_q, bestB if has_bias else None, stride,
                        padding, dilation, precision=jax.lax.Precision.HIGHEST)
 
+    # scale-free sensitivity: reported loss over the (same-weighted) target
+    # energy — comparable ACROSS layers, which the absolute loss is not.
+    # Drives the mixed-precision layer ranking (engine.run_ptq_mixed).
+    yy = stats.yy_att if att is not None else stats.yy_unw
+    final_rep = final_att if att is not None else final_unw
+    loss_rel = final_rep * stats.numel_y / jnp.maximum(yy, 1e-30)
+
     return {
         "kernel": kernel_q,
         "bias": bestB if has_bias else None,
@@ -273,7 +280,8 @@ def calibrate_from_stats(
         "alpha_act": None,
         "best_loss": best_loss,
         "loss_unweighted": final_unw,
-        "loss_reported": final_att if att is not None else final_unw,
+        "loss_reported": final_rep,
+        "loss_relative": loss_rel,
         "out_q": out_q,
         "history": history,
     }

@@ -51,6 +51,12 @@ class PTQReport:
     # plot_save observability (EfficientQConv.py:122-127, ptqer.py:275-279)
     layer_histories: Dict[str, Dict[str, "jnp.ndarray"]] = dataclasses.field(
         default_factory=dict)
+    # scale-free per-layer sensitivities (reported loss / target energy),
+    # comparable across layers — the mixed-precision ranking signal
+    layer_rel_losses: List[Tuple[str, float]] = dataclasses.field(
+        default_factory=list)
+    # layers recalibrated at the high grid by run_ptq_mixed
+    mixed_upgraded: List[str] = dataclasses.field(default_factory=list)
 
     def layer_loss_lines(self) -> List[str]:
         """layer_loss.txt formatting (src/ptqer.py:369-370,
@@ -208,6 +214,7 @@ def run_ptq(
     verbose: bool = False,
     mesh=None,
     granularity: str = "layer",
+    qlvl_overrides: Dict[str, Tuple[int, int]] = None,
 ):
     """Calibrate every qconv of ``graph`` on one NDHWC calibration batch.
 
@@ -234,6 +241,24 @@ def run_ptq(
                          f"got {granularity!r}")
     if fold:
         graph, variables = fold_bn(graph, variables)
+    if qlvl_overrides:
+        # pure rewrite: per-layer (qlvl_w, qlvl_act) grid overrides — the
+        # mixed-precision mechanism (run_ptq_mixed).  The returned graph
+        # carries the overridden qcfgs, so deployment (ptq/deploy.py) packs
+        # and fuses each layer at its own grid.
+        unknown = set(qlvl_overrides) - {n.name for n in graph.nodes}
+        if unknown:
+            raise ValueError(f"qlvl_overrides for unknown nodes: {unknown}")
+        new_nodes = []
+        for n in graph.nodes:
+            if n.name in qlvl_overrides and n.attrs.get("qcfg") is not None:
+                attrs = dict(n.attrs)
+                qw, qa = qlvl_overrides[n.name]
+                attrs["qcfg"] = dataclasses.replace(
+                    attrs["qcfg"], qlvl_w=int(qw), qlvl_act=int(qa))
+                n = dataclasses.replace(n, attrs=attrs)
+            new_nodes.append(n)
+        graph = dataclasses.replace(graph, nodes=new_nodes, _index=None)
     params = {k: dict(v) for k, v in variables["params"].items()}
     state = variables.get("state", {})
 
@@ -297,6 +322,7 @@ def run_ptq(
     # function: per-op eager dispatch costs a host<->device round-trip per
     # node, which dominates warm-cache wall-clock on remote-attached TPUs.
     layer_losses: List[Tuple[str, float]] = []
+    layer_rel_losses: List[Tuple[str, float]] = []
     layer_histories: Dict[str, Dict[str, np.ndarray]] = {}
     values: Dict[str, jnp.ndarray] = {graph.input_name: calib_x}
 
@@ -396,6 +422,9 @@ def run_ptq(
                 if res["alpha_act"] is not None:
                     p["alpha_act"] = res["alpha_act"]
                 layer_losses.append((node.name, float(res["loss_reported"])))
+                if "loss_relative" in res:
+                    layer_rel_losses.append(
+                        (node.name, float(res["loss_relative"])))
                 hist = {k: np.asarray(v) for k, v in res["history"].items()}
                 layer_histories[node.name] = hist
                 if verbose:
@@ -435,5 +464,61 @@ def run_ptq(
 
     new_vars = {"params": params, "state": state}
     report = PTQReport(layer_losses, nums, t1 - t0, t2 - t1, out_fp, out_q,
-                       layer_histories)
+                       layer_histories, layer_rel_losses)
     return graph, new_vars, report
+
+
+def run_ptq_mixed(
+    graph: Graph,
+    variables,
+    calib_x: jnp.ndarray,
+    *,
+    task: str,
+    init_stride,
+    hp: PTQHyperParams = PTQHyperParams(),
+    mixed_frac: float = 0.25,
+    mixed_qlvl: int = 16,
+    verbose: bool = False,
+    **kw,
+):
+    """Sensitivity-driven mixed-precision PTQ (ours — no reference
+    counterpart; the reference fixes one (qlvl_w, qlvl_act) per layer class,
+    src/models/PTQConv.py:12-23).
+
+    Two passes of :func:`run_ptq`:
+
+    1. calibrate at the graph's base grids and rank every weight-quantized
+       layer by its *relative* reconstruction loss (reported loss over
+       target energy — scale-free, so comparable across layers);
+    2. recalibrate with the worst ``mixed_frac`` fraction of layers lifted
+       to a ``mixed_qlvl`` grid (weights AND activations; the sweep is
+       sequential, so upgraded layers also de-noise everything downstream).
+
+    Deployment cost is unchanged: any grid <= 256 levels packs into the
+    same int8 codes and runs the same fused Pallas kernels — only the
+    epilogue constants differ.  Returns ``(graph, qvars, report)`` with
+    ``report.mixed_upgraded`` naming the lifted layers.
+    """
+    if not 0.0 < mixed_frac <= 1.0:
+        raise ValueError(f"mixed_frac must be in (0, 1], got {mixed_frac}")
+    _, _, rep1 = run_ptq(graph, variables, calib_x, task=task,
+                         init_stride=init_stride, hp=hp, verbose=verbose,
+                         **kw)
+    ranking = rep1.layer_rel_losses or rep1.layer_losses
+    k = max(1, int(round(mixed_frac * len(ranking))))
+    worst = [name for name, _ in
+             sorted(ranking, key=lambda t: -t[1])[:k]]
+    overrides = {}
+    lookup = {n.name: n for n in graph.nodes}
+    for name in worst:
+        qcfg = lookup[name].attrs["qcfg"]
+        overrides[name] = (max(qcfg.qlvl_w, mixed_qlvl),
+                           max(qcfg.qlvl_act, mixed_qlvl))
+    if verbose:
+        print(f"mixed precision: lifting {k}/{len(ranking)} layers to "
+              f"qlvl {mixed_qlvl}: {worst}")
+    g2, v2, rep2 = run_ptq(graph, variables, calib_x, task=task,
+                           init_stride=init_stride, hp=hp, verbose=verbose,
+                           qlvl_overrides=overrides, **kw)
+    rep2.mixed_upgraded.extend(worst)
+    return g2, v2, rep2

@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--calib_subjects", type=int, default=1,
                     help="calibration volumes stacked into the batch "
                          "(reference --lwq_batchsz analogue)")
+    ap.add_argument("--mixed_frac", type=float, default=0.0,
+                    help="fraction of most-sensitive layers lifted to "
+                         "--mixed_qlvl (sensitivity-driven mixed precision)")
+    ap.add_argument("--mixed_qlvl", type=int, default=16)
     ap.add_argument("--calib_offset", type=int, default=0,
                     help="skip this many sequential subjects before taking "
                          "the calibration batch (reference --lwq_dataid "
@@ -153,11 +157,20 @@ def main():
         sd = torch_io.to_torch_state_dict(graph, tr.variables)
         qvars = torch_io.load_torch_state_dict(qgraph, qvars, sd)
         t0 = time.time()
-        fg, fv, report = run_ptq(
-            qgraph, qvars, calib_x, task="lits", init_stride=init_stride,
-            hp=PTQHyperParams(admm_iter=args.admm_iter,
-                              channel_wise=args.channel_wise),
-            granularity=args.granularity)
+        hp = PTQHyperParams(admm_iter=args.admm_iter,
+                            channel_wise=args.channel_wise)
+        if args.mixed_frac:
+            from efficientq_tpu.ptq import run_ptq_mixed
+
+            fg, fv, report = run_ptq_mixed(
+                qgraph, qvars, calib_x, task="lits",
+                init_stride=init_stride, hp=hp,
+                mixed_frac=args.mixed_frac, mixed_qlvl=args.mixed_qlvl,
+                granularity=args.granularity)
+        else:
+            fg, fv, report = run_ptq(
+                qgraph, qvars, calib_x, task="lits", init_stride=init_stride,
+                hp=hp, granularity=args.granularity)
         calib_sec = time.time() - t0
         q_dice = mean_fg_dice(fg, fv, hub, n_mo, "quantized")
         delta = fp_dice - q_dice
@@ -166,6 +179,8 @@ def main():
         results["settings"][tag] = {
             "dice": q_dice, "delta": delta, "calib_seconds": calib_sec,
             "layers": len(report.layer_losses)}
+        if report.mixed_upgraded:
+            results["settings"][tag]["mixed_upgraded"] = report.mixed_upgraded
 
         if args.tune_act:
             from efficientq_tpu.ptq.tune import tune_activation_range
