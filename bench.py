@@ -19,10 +19,37 @@ import numpy as np
 from efficientq_tpu.models.torch_exec import torch_reference_forward
 
 
+def _device_watchdog(timeout_s: float = 180.0):
+    """Fail fast (explicit JSON) when the TPU tunnel is down: jax.devices()
+    hangs forever during a relay outage (no listener on the tunnel ports),
+    which would wedge the whole bench run.  Probe in a daemon thread."""
+    import threading
+
+    got = []
+
+    def probe():
+        import jax
+
+        got.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got:
+        print(json.dumps({
+            "metric": "brats_w4a4_whole_volume_sliding_window_inference",
+            "value": 0.0, "unit": "volumes/sec", "vs_baseline": 0.0,
+            "error": f"device backend unreachable after {timeout_s:.0f}s "
+                     "(TPU tunnel outage) — no measurement taken",
+        }))
+        sys.exit(0)
+
+
 def main():
     from efficientq_tpu.cli.entrance import enable_compilation_cache
 
     enable_compilation_cache()
+    _device_watchdog()
     import jax
     import jax.numpy as jnp
 
