@@ -82,6 +82,10 @@ def main():
                     help="fraction of most-sensitive layers lifted to "
                          "--mixed_qlvl (sensitivity-driven mixed precision)")
     ap.add_argument("--mixed_qlvl", type=int, default=16)
+    ap.add_argument("--att_style", default="p:0.5",
+                    help="attention weight-map style (reference hardcodes "
+                         "p:0.5, src/ptqer.py:342); p:1.0 weights the rare "
+                         "class ~232x instead of ~15x on this gate")
     ap.add_argument("--calib_offset", type=int, default=0,
                     help="skip this many sequential subjects before taking "
                          "the calibration batch (reference --lwq_dataid "
@@ -166,11 +170,12 @@ def main():
                 qgraph, qvars, calib_x, task="lits",
                 init_stride=init_stride, hp=hp,
                 mixed_frac=args.mixed_frac, mixed_qlvl=args.mixed_qlvl,
-                granularity=args.granularity)
+                granularity=args.granularity, att_style=args.att_style)
         else:
             fg, fv, report = run_ptq(
                 qgraph, qvars, calib_x, task="lits", init_stride=init_stride,
-                hp=hp, granularity=args.granularity)
+                hp=hp, granularity=args.granularity,
+                att_style=args.att_style)
         calib_sec = time.time() - t0
         q_dice = mean_fg_dice(fg, fv, hub, n_mo, "quantized")
         delta = fp_dice - q_dice
