@@ -125,6 +125,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mixed_qlvl", type=int, default=16,
                         help="quantization levels for the lifted layers "
                              "(16 = 4-bit)")
+    # ours: calibration-volume selection (ptq/select.py) — the reference
+    # leaves --lwq_dataid to the user with no guidance (src/ptqer.py:86-109)
+    # while at 2-bit the draw swings dice ~0.1 (docs/quantization.md).
+    # Scores each candidate's calibrated net by quantized dice on the
+    # labeled candidate (train) volumes; validation is never touched.
+    parser.add_argument("--lwq_select", type=int, default=0,
+                        help="calibrate on each of K sequential candidate "
+                             "volumes (after the --lwq_dataid skip) and "
+                             "keep the best by train-volume dice (0 = off)")
     # whole-network alpha_act refinement after the per-layer sweep — the
     # reference implements this but never calls it (src/ptqer.py:238-272);
     # measured +0.002 dice at W2A2 (BASELINE.md). 0 = off, N = Adam iters.

@@ -170,6 +170,25 @@ def get_calibration_data(args, hub):
     return img, label
 
 
+def get_calibration_candidates(args, hub):
+    """K sequential candidate (img, label) volume pairs for --lwq_select,
+    each center-cropped by the same rule as the single-volume path."""
+    hub.trainseqloader.dataset.use_fix_transform()
+    it = iter(hub.trainseqloader)
+    for _ in range(args.lwq_dataid):
+        next(it)
+    imgs, labels = [], []
+    for _ in range(args.lwq_select):
+        img, label = next(it)
+        if args.lwq_patchsz:
+            crop_shape = [int(x) for x in args.lwq_patchsz.split(",")]
+        else:
+            crop_shape = [min(x, 192) // 64 * 64 for x in img.shape[-3:]]
+        imgs.append(center_crop(img, crop_shape))
+        labels.append(center_crop(label, crop_shape))
+    return imgs, labels
+
+
 def ptq(args):
     """PTQ mission (ptq_seg.py:7-32 + ptqer.do_ptq:282-387)."""
     hub, data_info, nMod, nClass, patch_size = definer.get_data_cube(args)
@@ -217,7 +236,37 @@ def ptq(args):
         hp=hp, verbose=args.lwq_verbose, mesh=mesh,
         granularity=getattr(args, "lwq_granularity", "layer"))
     mixed_frac = getattr(args, "mixed_frac", 0.0)
-    if mixed_frac:
+    lwq_select = getattr(args, "lwq_select", 0)
+    if lwq_select:
+        # calibration-volume selection (ptq/select.py): calibrate on each
+        # of K candidates, keep the best by train-volume dice
+        if args.lwq_batchsz != 1:
+            raise ValueError("--lwq_select is incompatible with "
+                             "--lwq_batchsz > 1 (candidates are "
+                             "single volumes)")
+        if lwq_select < 2:
+            raise ValueError("--lwq_select needs at least 2 candidates")
+        from ..ptq.select import select_calibration
+
+        cand_imgs, cand_labels = get_calibration_candidates(args, hub)
+        fgraph, qvars, report, selection = select_calibration(
+            graph, variables, cand_imgs, cand_labels,
+            num_mo=n_mo, n_class=nClass,
+            patch_size=hub.slide_patch_size, overlap=hub.slide_overlap,
+            multilabel_fusetype=hub.multilabel_fusetype,
+            mixed_frac=mixed_frac, mixed_qlvl=args.mixed_qlvl, **ptq_kw)
+        calib_x = ops.ncdhw_to_ndhwc(
+            jnp.asarray(cand_imgs[selection["picked"]]))
+        with open(P.join(snap_dir, "calib_select.txt"), "w") as f:
+            for i, s in enumerate(selection["scores"]):
+                mark = "  <- picked" if i == selection["picked"] else ""
+                f.write(f"candidate {args.lwq_dataid + i}: "
+                        f"train-volume dice {s:.6f}{mark}\n")
+        print(f"calib_select: picked candidate "
+              f"{args.lwq_dataid + selection['picked']} "
+              f"(train-volume dice {selection['scores'][selection['picked']]:.4f} "
+              f"over {lwq_select} candidates)")
+    elif mixed_frac:
         # sensitivity-driven mixed precision: two-pass recalibration with
         # the worst layers lifted to --mixed_qlvl (ptq/engine.run_ptq_mixed)
         from ..ptq import run_ptq_mixed
