@@ -91,6 +91,10 @@ def main():
                          "the calibration batch (reference --lwq_dataid "
                          "analogue; use to measure calibration-choice "
                          "variance)")
+    ap.add_argument("--calib_select", type=int, default=0,
+                    help="calibrate on each of K candidate volumes and keep "
+                         "the best by train-volume dice (ptq/select.py; "
+                         "mirrors the product --lwq_select)")
     ap.add_argument("--width", type=str, default=None,
                     help="comma-separated stage widths override")
     ap.add_argument("--vol", type=int, default=32, help="synthetic volume side")
@@ -143,9 +147,14 @@ def main():
     seq = iter(hub.trainseqloader)
     for _ in range(args.calib_offset):
         next(seq)
-    imgs = [next(seq)[0] for _ in range(args.calib_subjects)]
-    calib_x = ops.ncdhw_to_ndhwc(jnp.concatenate(
-        [jnp.asarray(im) for im in imgs], axis=0))
+    if args.calib_select:
+        pairs = [next(seq) for _ in range(args.calib_select)]
+        cand_imgs = [p[0] for p in pairs]
+        cand_labels = [p[1] for p in pairs]
+    else:
+        imgs = [next(seq)[0] for _ in range(args.calib_subjects)]
+        calib_x = ops.ncdhw_to_ndhwc(jnp.concatenate(
+            [jnp.asarray(im) for im in imgs], axis=0))
 
     results = {"fp_dice": fp_dice, "train_seconds": train_sec,
                "epochs": args.epochs, "settings": {}}
@@ -163,7 +172,17 @@ def main():
         t0 = time.time()
         hp = PTQHyperParams(admm_iter=args.admm_iter,
                             channel_wise=args.channel_wise)
-        if args.mixed_frac:
+        if args.calib_select:
+            from efficientq_tpu.ptq.select import select_calibration
+
+            fg, fv, report, selection = select_calibration(
+                qgraph, qvars, cand_imgs, cand_labels,
+                num_mo=n_mo, n_class=3, patch_size=patch,
+                overlap=(4, 4, 4), task="lits", init_stride=init_stride,
+                hp=hp, granularity=args.granularity,
+                att_style=args.att_style, mixed_frac=args.mixed_frac,
+                mixed_qlvl=args.mixed_qlvl, verbose=True)
+        elif args.mixed_frac:
             from efficientq_tpu.ptq import run_ptq_mixed
 
             fg, fv, report = run_ptq_mixed(
@@ -177,6 +196,9 @@ def main():
                 hp=hp, granularity=args.granularity,
                 att_style=args.att_style)
         calib_sec = time.time() - t0
+        if args.calib_select:
+            calib_x = ops.ncdhw_to_ndhwc(
+                jnp.asarray(cand_imgs[selection["picked"]]))
         q_dice = mean_fg_dice(fg, fv, hub, n_mo, "quantized")
         delta = fp_dice - q_dice
         print(f"{tag}: dice {q_dice:.4f} (delta {delta:+.4f}), "
@@ -186,6 +208,8 @@ def main():
             "layers": len(report.layer_losses)}
         if report.mixed_upgraded:
             results["settings"][tag]["mixed_upgraded"] = report.mixed_upgraded
+        if args.calib_select:
+            results["settings"][tag]["calib_select"] = selection
 
         if args.tune_act:
             from efficientq_tpu.ptq.tune import tune_activation_range
