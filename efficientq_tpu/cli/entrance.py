@@ -23,7 +23,11 @@ def merge_config(cfg_path: str, args: argparse.Namespace) -> argparse.Namespace:
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Entrance for Quantization/FP training/Inference")
-    parser.add_argument("mission", choices=["train_fp", "ptq"])
+    # 'infer' is ours: serve a PTQ export (state_in_int8[_compress]/
+    # state_in_fp) without recalibrating — the reference can only evaluate
+    # a quantized net by re-running the whole PTQ pipeline
+    # (src/ptqer.py:282-387)
+    parser.add_argument("mission", choices=["train_fp", "ptq", "infer"])
     parser.add_argument("--pretrain")
     parser.add_argument("--resume")
     parser.add_argument("--device", default=0, type=int,
@@ -155,6 +159,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--patch_batch", type=int, default=0,
                         help="patches per eval forward; 0 = measured "
                              "auto-tune per geometry (eval/autotune.py)")
+    # serving path for the infer mission: 'none' = fake-quant eval graph,
+    # 'int8' = every eligible qconv through the int8 deployment rewrite
+    # (fused Pallas kernels on TPU), 'mixed' = int8 for the 3^3 convs only
+    parser.add_argument("--deploy", default="none",
+                        choices=("none", "int8", "mixed"),
+                        help="infer-mission serving graph (ptq/deploy.py)")
     # TPU-native extension (not in the reference flag surface): checkpoint
     # backend — 'pickle' is the reference-parity default, 'orbax' writes
     # directory-based multi-host-safe checkpoints (utils/checkpoint.py)
@@ -214,12 +224,14 @@ def main(argv=None):
     if args.device and args.device < len(jax.devices()):
         jax.config.update("jax_default_device", jax.devices()[args.device])
 
-    from .missions import ptq, train_fp
+    from .missions import infer, ptq, train_fp
 
     if args.mission == "train_fp":
         return train_fp(args)
     elif args.mission == "ptq":
         return ptq(args)
+    elif args.mission == "infer":
+        return infer(args)
     raise NotImplementedError(args.mission)
 
 

@@ -340,6 +340,57 @@ def ptq(args):
     return snap_dir
 
 
+def infer(args):
+    """Serving mission (ours — no reference counterpart): load a PTQ
+    export (state_in_int8.pkl / state_in_int8_compress.npz /
+    state_in_fp.pkl) and run whole-volume inference without
+    recalibrating.  The reference can only evaluate a quantized net by
+    re-running the full PTQ pipeline (src/ptqer.py:282-387); here the
+    packed export reloads directly (torch_io.load_int8_checkpoint,
+    mirroring restore_fp_weight, src/models/PTQConv.py:144-152) and
+    ``--deploy int8|mixed`` additionally serves through the int8
+    deployment rewrite (fused Pallas kernels on TPU).
+
+    Model/quant flags must match the ptq run that produced the export.
+    ``--true_test``/``--save_nii``/``--is_cc``/``--dp_devices``/
+    ``--patch_batch`` all apply.
+    """
+    hub, data_info, nMod, nClass, patch_size = definer.get_data_cube(args)
+    cfg, model_info, n_mo = definer.get_model_config(args)
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    if not args.pretrain:
+        raise ValueError("infer requires --pretrain (a PTQ export)")
+
+    qinfo = definer.qinfo_string(args)
+    snap_dir = definer.make_snapshot_dir(args, "exp_infer", model_info,
+                                         qinfo)
+
+    # exports are of the folded graph: fold first (the random-init BN
+    # stats fold into conv params that the export then overwrites)
+    from ..ptq import fold_bn
+
+    fgraph, fvars = fold_bn(graph, variables)
+    fvars = torch_io.load_int8_checkpoint(fgraph, fvars, args.pretrain)
+
+    deploy = getattr(args, "deploy", "none")
+    if deploy != "none":
+        from ..ptq.deploy import to_int8_inference
+
+        only = {(3, 3, 3)} if deploy == "mixed" else None
+        fgraph, fvars = to_int8_inference(fgraph, fvars,
+                                          only_kernel_sizes=only)
+        n_int8 = sum(1 for node in fgraph.nodes
+                     if node.attrs.get("int8"))
+        print(f"deploy={deploy}: {n_int8} convs on the int8 path")
+
+    mesh = _make_dp_mesh(args)
+    _final_test(fgraph, fvars, hub, n_mo, nClass,
+                P.join(snap_dir, "infer"), args, mode="quantized",
+                mesh=mesh)
+    return snap_dir
+
+
 def _dump_seg_niis(report, task, snap_dir):
     """Side-by-side Q vs FP hard segmentations (ptqer.py:372-377; brats uses
     the conservative-merge prediction, utils/metrics.py:216-219)."""

@@ -130,3 +130,41 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
     # the selected net's artifacts still export
     assert P.isfile(P.join(snap_sel, "layer_loss.txt"))
     assert P.isfile(P.join(snap_sel, "state_in_int8.pkl"))
+
+    # infer mission: reload PTQ exports and serve without recalibrating
+    INFER_ARGS = [
+        "infer", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1",
+        "--patch_size", "8,8,8", "--access_type", "npy",
+        "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
+        "--q_first", "256,-1", "--q_last", "256,-1", *TINY_MODEL,
+    ]
+
+    def dsc_vals(path):
+        # line 2 = the final head's totals, "acc = .., dsc = .., .."
+        with open(path) as f:
+            line = f.readlines()[1]
+        return [float(kv.split("=")[1]) for kv in line.split(",")
+                if kv.strip().startswith("dsc")]
+
+    want = dsc_vals(P.join(snap_ptq, "ptq", "val_seg.txt"))
+
+    # fp-valued export + fake-quant graph: must reproduce the ptq run's
+    # quantized val dice exactly (same math, same values)
+    snap_fp = main(INFER_ARGS + [
+        "--pretrain", P.join(snap_ptq, "state_in_fp.pkl"),
+        "--suffix", "inffp"])
+    got = dsc_vals(P.join(snap_fp, "infer", "val_seg.txt"))
+    assert got, "no dsc entries parsed"
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # packed-int8 npz + the int8 deployment rewrite: the pack/unpack
+    # float roundtrip (atol 1e-5 on kernels) can flip near-tie voxels on
+    # this chance-level 3-epoch toy, so the dice check is loose; the
+    # deploy rewrite's bit-exactness has its own test (test_int8_deploy)
+    snap_inf = main(INFER_ARGS + [
+        "--pretrain", P.join(snap_ptq, "state_in_int8_compress.npz"),
+        "--deploy", "int8", "--suffix", "inf"])
+    got8 = dsc_vals(P.join(snap_inf, "infer", "val_seg.txt"))
+    assert got8 and all(np.isfinite(got8))
+    np.testing.assert_allclose(got8, want, atol=0.05)
