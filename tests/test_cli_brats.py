@@ -49,3 +49,27 @@ def test_brats_train_then_ptq(workdir, monkeypatch):
     # 4 class-voxel counts for brats (bkg, WT, TC, ET)
     with open(P.join(snap_ptq, "class_voxel_nums.txt")) as f:
         assert len(f.read().split()) == 4
+
+    # calibration-volume selection through the multilabel scoring path
+    snap_sel = main([
+        "ptq", "--task", "brats", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--pretrain", ckpt,
+        "--patch_size", "8,8,8", "--qconv", "effq", "--qlvl_w", "4",
+        "--qlvl_a", "4", "--q_first", "256,-1", "--q_last", "256,-1",
+        "--lwq_patchsz", "16,16,16", "--lwq_iter", "5",
+        "--lwq_select", "2", "--no_test", "--suffix", "sel", *TINY,
+    ])
+    with open(P.join(snap_sel, "calib_select.txt")) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 2 and sum("picked" in l for l in lines) == 1
+
+    # serve the packed export on the brats multilabel path
+    snap_inf = main([
+        "infer", "--task", "brats", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1",
+        "--pretrain", P.join(snap_ptq, "state_in_int8_compress.npz"),
+        "--patch_size", "8,8,8", "--qconv", "effq", "--qlvl_w", "4",
+        "--qlvl_a", "4", "--q_first", "256,-1", "--q_last", "256,-1",
+        "--deploy", "mixed", "--suffix", "inf", *TINY,
+    ])
+    assert P.isfile(P.join(snap_inf, "infer", "val_seg.txt"))
