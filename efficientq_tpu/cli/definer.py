@@ -222,7 +222,8 @@ def get_lwq_hyperparams(args):
         rho=getattr(args, "lwq_rho", 10.0) or 10.0,
         rho_max=getattr(args, "lwq_rho_max", 1000.0) or 1000.0,
         eta=getattr(args, "lwq_eta", 1.0) or 1.0,
-        channel_wise=bool(getattr(args, "channel_wise", False)))
+        channel_wise=bool(getattr(args, "channel_wise", False)),
+        bias_corr=bool(getattr(args, "bias_corr", False)))
 
 
 def make_snapshot_dir(args, exp_kind: str, model_info: str, qinfo: str) -> str:

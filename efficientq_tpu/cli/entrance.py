@@ -119,6 +119,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--channel_wise", action="store_true",
                         help="per-output-channel weight scales in the ADMM "
                              "projection and the int8 deployment epilogue")
+    # ours: DFQ-style bias correction (Nagel et al. 2019) — absorb the
+    # quantized kernel's residual per-channel mean error into the FP bias
+    parser.add_argument("--bias_corr", action="store_true",
+                        help="per-output-channel bias correction after each "
+                             "layer's ADMM (exact for the weighted "
+                             "reconstruction objective)")
     # ours: sensitivity-driven mixed precision (engine.run_ptq_mixed) — a
     # first pass ranks layers by relative reconstruction loss, a second
     # recalibrates the worst fraction at --mixed_qlvl.  Serving cost is

@@ -43,6 +43,12 @@ class PTQHyperParams:
     # per-output-channel alpha_w (the 'channel_wise' the reference's
     # PTQBlock reads but no PTQConv ever defines, src/models/PTQBlock.py:15)
     channel_wise: bool = False
+    # DFQ-style per-output-channel bias correction (ours — the reference
+    # keeps the BN-folded bias untouched): after ADMM, absorb the
+    # grid-constrained kernel's residual channel-mean error into the FP
+    # bias, minimizing the same (attention-weighted) objective exactly
+    # w.r.t. a per-channel shift
+    bias_corr: bool = False
 
 
 def rho_segments(hp: PTQHyperParams) -> List[Tuple[float, int, float]]:
@@ -253,11 +259,6 @@ def calibrate_from_stats(
     bestG, bestB, alpha_w, best_loss, history = admm_quantize(
         w_flat0, bias, stats, qlvl_w, rho_scale, hp, loss_fn=loss_fn)
 
-    W_ext = (jnp.concatenate([bestG, bestB[:, None]], axis=1)
-             if has_bias else bestG)
-    final_unw = quadratic_mse(stats, W_ext, weighted=False)
-    final_att = quadratic_mse(stats, W_ext, weighted=True)
-
     # the layer's quantized-forward output, fused into this program so the
     # calibration sweep needs no separate conv compilation per layer
     kernel_q = flat_to_kernel(bestG, kernel.shape)
@@ -265,6 +266,25 @@ def calibrate_from_stats(
 
     out_q = ops.conv3d(x_q, kernel_q, bestB if has_bias else None, stride,
                        padding, dilation, precision=jax.lax.Precision.HIGHEST)
+
+    if hp.bias_corr and has_bias:
+        # per-output-channel bias correction (see PTQHyperParams.bias_corr):
+        # the optimal per-channel shift for the (weighted) reconstruction
+        # objective is the (weighted) mean residual over (N, D, H, W)
+        err = y_fp - out_q
+        if att is not None:
+            w4 = att[..., None]
+            delta = (jnp.sum(err * w4, axis=(0, 1, 2, 3))
+                     / jnp.maximum(jnp.sum(w4), 1e-30))
+        else:
+            delta = jnp.mean(err, axis=(0, 1, 2, 3))
+        bestB = bestB + delta
+        out_q = out_q + delta
+
+    W_ext = (jnp.concatenate([bestG, bestB[:, None]], axis=1)
+             if has_bias else bestG)
+    final_unw = quadratic_mse(stats, W_ext, weighted=False)
+    final_att = quadratic_mse(stats, W_ext, weighted=True)
 
     # scale-free sensitivity: reported loss over the (same-weighted) target
     # energy — comparable ACROSS layers, which the absolute loss is not.

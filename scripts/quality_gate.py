@@ -73,6 +73,8 @@ def main():
                          "exit convs absorb in-block error)")
     ap.add_argument("--channel_wise", action="store_true",
                     help="per-output-channel weight scales")
+    ap.add_argument("--bias_corr", action="store_true",
+                    help="per-output-channel bias correction after ADMM")
     ap.add_argument("--tune_act", type=int, default=0,
                     help="post-PTQ end-to-end alpha_act Adam iterations")
     ap.add_argument("--calib_subjects", type=int, default=1,
@@ -171,7 +173,8 @@ def main():
         qvars = torch_io.load_torch_state_dict(qgraph, qvars, sd)
         t0 = time.time()
         hp = PTQHyperParams(admm_iter=args.admm_iter,
-                            channel_wise=args.channel_wise)
+                            channel_wise=args.channel_wise,
+                            bias_corr=args.bias_corr)
         if args.calib_select:
             from efficientq_tpu.ptq.select import select_calibration
 

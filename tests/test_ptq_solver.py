@@ -245,3 +245,44 @@ def test_quadratic_selector_ranks_like_direct_f64():
     naive_err = np.max(np.abs((naive - naive.mean())
                               - (direct - direct.mean())))
     assert err < naive_err, (err, naive_err)
+
+
+def test_bias_correction_zeroes_channel_mean_and_improves_loss():
+    """hp.bias_corr: the per-channel (weighted) mean residual is zeroed
+    exactly and the reported reconstruction loss never worsens (the shift
+    is the exact minimizer of the same objective)."""
+    import jax
+
+    from efficientq_tpu import ops
+    from efficientq_tpu.ptq.admm import PTQHyperParams, calibrate_layer
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(np.abs(rng.randn(1, 8, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 6).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.randn(6).astype(np.float32) * 0.05)
+    y = ops.conv3d(x, k, b, (1, 1, 1), (1, 1, 1), (1, 1, 1),
+                   precision=jax.lax.Precision.HIGHEST)
+    kw = dict(ksize=(3, 3, 3), stride=(1, 1, 1), padding=(1, 1, 1),
+              dilation=(1, 1, 1), qlvl_w=4, has_bias=True, qlvl_act=4)
+    for att in (None,
+                jnp.asarray(rng.rand(*y.shape[:-1]).astype(np.float32))):
+        plain = calibrate_layer(x, y, k, b, att,
+                                hp=PTQHyperParams(admm_iter=20), **kw)
+        corr = calibrate_layer(
+            x, y, k, b, att,
+            hp=PTQHyperParams(admm_iter=20, bias_corr=True), **kw)
+        err = np.asarray(y - corr["out_q"])
+        if att is None:
+            mean_resid = err.mean(axis=(0, 1, 2, 3))
+        else:
+            w4 = np.asarray(att)[..., None]
+            mean_resid = (err * w4).sum(axis=(0, 1, 2, 3)) / w4.sum()
+        np.testing.assert_allclose(mean_resid, np.zeros(6), atol=1e-5)
+        # same grid, shifted bias only
+        a_p, a_c = float(plain["alpha_w"]), float(corr["alpha_w"])
+        np.testing.assert_allclose(a_p, a_c, rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.round(np.asarray(plain["kernel"]) / a_p * 3),
+            np.round(np.asarray(corr["kernel"]) / a_c * 3))
+        assert (float(corr["loss_reported"])
+                <= float(plain["loss_reported"]) + 1e-7)
