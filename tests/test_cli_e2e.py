@@ -123,6 +123,20 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
     with open(P.join(snap_sel, "calib_select.txt")) as f:
         sel_lines = f.read().splitlines()
     assert len(sel_lines) == 2 and sum("picked" in l for l in sel_lines) == 1
+    # selection composes with mesh-sharded calibration (--dp_devices):
+    # every candidate's Gram accumulation shards over the mesh
+    snap_seldp = main([
+        "ptq", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--pretrain", ckpts[0],
+        "--patch_size", "8,8,8", "--access_type", "npy",
+        "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
+        "--q_first", "256,-1", "--q_last", "256,-1",
+        "--lwq_patchsz", "16,16,16", "--lwq_iter", "5",
+        "--lwq_select", "2", "--dp_devices", "2", "--no_test",
+        "--suffix", "seldp", *TINY_MODEL,
+    ])
+    with open(P.join(snap_seldp, "calib_select.txt")) as f:
+        assert sum("picked" in l for l in f.read().splitlines()) == 1
     scores = [float(l.split("dice ")[1].split()[0]) for l in sel_lines]
     assert all(np.isfinite(s) for s in scores)
     picked_idx = next(i for i, l in enumerate(sel_lines) if "picked" in l)
