@@ -143,50 +143,51 @@ def train_fp(args):
     return snap_root
 
 
-def get_calibration_data(args, hub):
-    """One (or lwq_batchsz) center-cropped calibration volume(s) from the
-    sequential train loader (ptqer.py:83-111)."""
+def _calib_crop_shape(args, img):
+    """The shared calibration crop rule (ptqer.py:96-105): explicit
+    --lwq_patchsz, else each spatial dim capped at 192 and rounded down to
+    a multiple of 64."""
+    if args.lwq_patchsz:
+        return [int(x) for x in args.lwq_patchsz.split(",")]
+    return [min(x, 192) // 64 * 64 for x in img.shape[-3:]]
+
+
+def _calib_sequence(args, hub, count):
+    """``count`` sequential center-cropped (img, label) pairs after the
+    --lwq_dataid skip (ptqer.py:83-111), with a descriptive error when the
+    train split is too short (bare StopIteration otherwise)."""
     hub.trainseqloader.dataset.use_fix_transform()
     it = iter(hub.trainseqloader)
-    for _ in range(args.lwq_dataid):
-        next(it)
-    if args.lwq_batchsz == 1:
-        img, label = next(it)
-        if args.lwq_patchsz:
-            crop_shape = [int(x) for x in args.lwq_patchsz.split(",")]
-        else:
-            crop_shape = [min(x, 192) // 64 * 64 for x in img.shape[-3:]]
-        img = center_crop(img, crop_shape)
-        label = center_crop(label, crop_shape)
-    else:
-        crop_shape = [int(x) for x in args.lwq_patchsz.split(",")]
-        imgs, labels = [], []
-        for _ in range(args.lwq_batchsz):
-            i2, l2 = next(it)
-            imgs.append(center_crop(i2, crop_shape))
-            labels.append(center_crop(l2, crop_shape))
-        img = np.concatenate(imgs, axis=0)
-        label = np.concatenate(labels, axis=0)
+    pairs = []
+    try:
+        for _ in range(args.lwq_dataid):
+            next(it)
+        for _ in range(count):
+            img, label = next(it)
+            shape = _calib_crop_shape(args, img)
+            pairs.append((center_crop(img, shape),
+                          center_crop(label, shape)))
+    except StopIteration:
+        raise ValueError(
+            f"calibration needs --lwq_dataid ({args.lwq_dataid}) + {count} "
+            f"sequential volumes, but the train split has fewer") from None
+    return pairs
+
+
+def get_calibration_data(args, hub):
+    """One (or lwq_batchsz-stacked) center-cropped calibration volume(s)
+    from the sequential train loader (ptqer.py:83-111)."""
+    pairs = _calib_sequence(args, hub, args.lwq_batchsz)
+    img = np.concatenate([p[0] for p in pairs], axis=0)
+    label = np.concatenate([p[1] for p in pairs], axis=0)
     return img, label
 
 
 def get_calibration_candidates(args, hub):
     """K sequential candidate (img, label) volume pairs for --lwq_select,
     each center-cropped by the same rule as the single-volume path."""
-    hub.trainseqloader.dataset.use_fix_transform()
-    it = iter(hub.trainseqloader)
-    for _ in range(args.lwq_dataid):
-        next(it)
-    imgs, labels = [], []
-    for _ in range(args.lwq_select):
-        img, label = next(it)
-        if args.lwq_patchsz:
-            crop_shape = [int(x) for x in args.lwq_patchsz.split(",")]
-        else:
-            crop_shape = [min(x, 192) // 64 * 64 for x in img.shape[-3:]]
-        imgs.append(center_crop(img, crop_shape))
-        labels.append(center_crop(label, crop_shape))
-    return imgs, labels
+    pairs = _calib_sequence(args, hub, args.lwq_select)
+    return [p[0] for p in pairs], [p[1] for p in pairs]
 
 
 def ptq(args):
@@ -212,11 +213,6 @@ def ptq(args):
             payload = pickle.load(f)
         variables = torch_io.load_torch_state_dict(
             graph, variables, payload["state_dict"])
-
-    img, label = get_calibration_data(args, hub)
-    calib_x = ops.ncdhw_to_ndhwc(jnp.asarray(img))
-    if args.lwq_verbose:
-        print("Calibration data shape:", img.shape)
 
     # multi-chip calibration + eval: Gram accumulation and the patch grid
     # shard over the mesh (parallel/ptq.py, parallel/mesh.py)
@@ -266,18 +262,30 @@ def ptq(args):
               f"{args.lwq_dataid + selection['picked']} "
               f"(train-volume dice {selection['scores'][selection['picked']]:.4f} "
               f"over {lwq_select} candidates)")
-    elif mixed_frac:
-        # sensitivity-driven mixed precision: two-pass recalibration with
-        # the worst layers lifted to --mixed_qlvl (ptq/engine.run_ptq_mixed)
-        from ..ptq import run_ptq_mixed
+    else:
+        img, _label = get_calibration_data(args, hub)
+        calib_x = ops.ncdhw_to_ndhwc(jnp.asarray(img))
+        if args.lwq_verbose:
+            print("Calibration data shape:", img.shape)
+        if mixed_frac:
+            # sensitivity-driven mixed precision: two-pass recalibration,
+            # worst layers lifted to --mixed_qlvl (ptq/engine.run_ptq_mixed)
+            from ..ptq import run_ptq_mixed
 
-        fgraph, qvars, report = run_ptq_mixed(
-            graph, variables, calib_x, mixed_frac=mixed_frac,
-            mixed_qlvl=args.mixed_qlvl, **ptq_kw)
+            fgraph, qvars, report = run_ptq_mixed(
+                graph, variables, calib_x, mixed_frac=mixed_frac,
+                mixed_qlvl=args.mixed_qlvl, **ptq_kw)
+        else:
+            fgraph, qvars, report = run_ptq(graph, variables, calib_x,
+                                            **ptq_kw)
+    if report.mixed_upgraded:
+        # persist which layers calibrated at the lifted grid (needed to
+        # reason about the export; the map itself ships in the export as
+        # __qlvl_overrides__)
         print(f"mixed precision: {len(report.mixed_upgraded)} layers at "
               f"qlvl {args.mixed_qlvl}: {', '.join(report.mixed_upgraded)}")
-    else:
-        fgraph, qvars, report = run_ptq(graph, variables, calib_x, **ptq_kw)
+        with open(P.join(snap_dir, "mixed_upgraded.txt"), "w") as f:
+            f.write("\n".join(report.mixed_upgraded) + "\n")
 
     if getattr(args, "tune_act", 0):
         # joint alpha_act refinement on the calibration volume
@@ -368,9 +376,15 @@ def infer(args):
 
     # exports are of the folded graph: fold first (the random-init BN
     # stats fold into conv params that the export then overwrites)
-    from ..ptq import fold_bn
+    from ..ptq import apply_qlvl_overrides, fold_bn
 
     fgraph, fvars = fold_bn(graph, variables)
+    # mixed-precision exports carry per-layer grids (__qlvl_overrides__):
+    # rebuild the serving qcfgs from the export so lifted layers unpack
+    # and fake-quantize on the grids they were calibrated with
+    overrides = torch_io.read_export_qlvl_overrides(args.pretrain)
+    if overrides:
+        fgraph = apply_qlvl_overrides(fgraph, overrides)
     fvars = torch_io.load_int8_checkpoint(fgraph, fvars, args.pretrain)
 
     deploy = getattr(args, "deploy", "none")
@@ -412,6 +426,14 @@ def _save_quantized(graph, variables, snap_dir):
     import pickle
 
     sd = torch_io.to_torch_state_dict(graph, variables)
+    # the effective per-layer grids: mixed precision (run_ptq_mixed)
+    # rewrites qcfgs per node, so exports must carry the map — reloading
+    # on uniform CLI flags would unpack/serve lifted layers on the wrong
+    # grid (torch_io.load_int8_checkpoint / the infer mission consume it;
+    # load_torch_state_dict ignores non-node keys)
+    sd["__qlvl_overrides__"] = {
+        node.name: (node.attrs["qcfg"].qlvl_w, node.attrs["qcfg"].qlvl_act)
+        for node in graph.qconv_nodes()}
     with open(P.join(snap_dir, "state_in_fp.pkl"), "wb") as f:
         pickle.dump({"state_dict": sd}, f)
 

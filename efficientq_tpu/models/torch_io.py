@@ -94,20 +94,38 @@ def load_torch_checkpoint(graph: Graph, variables, path: str, strict=False):
     return load_torch_state_dict(graph, variables, sd, strict)
 
 
+def read_export_qlvl_overrides(path: str):
+    """The per-layer (qlvl_w, qlvl_act) map a PTQ export carries (written
+    by the ptq mission as ``__qlvl_overrides__``) — needed to rebuild the
+    serving graph when the export was produced with mixed precision.
+    Returns {} for exports that predate the map (uniform-precision)."""
+    sd = _read_export_state_dict(path)
+    return dict(sd.get("__qlvl_overrides__", {}))
+
+
+def _read_export_state_dict(path: str):
+    import pickle
+
+    if path.endswith(".npz"):
+        return np.load(path, allow_pickle=True)["state_dict"].item()
+    with open(path, "rb") as f:
+        return pickle.load(f)["state_dict"]
+
+
 def load_int8_checkpoint(graph: Graph, variables, path: str):
     """Load a PTQ int8-packed export (state_in_int8.pkl /
     state_in_int8_compress.npz) and restore FP-valued quantized weights,
-    mirroring restore_fp_weight (src/models/PTQConv.py:144-152)."""
-    import pickle
+    mirroring restore_fp_weight (src/models/PTQConv.py:144-152).
 
+    ``graph`` must carry the grids the export was calibrated with — for a
+    mixed-precision export, first rewrite it with
+    ``apply_qlvl_overrides(graph, read_export_qlvl_overrides(path))``.
+    A code outside [0, qlvl_w-1] means the grids disagree and raises
+    rather than silently unpacking ~5x out of range."""
     from ..quant import unpack_int_weight
 
-    if path.endswith(".npz"):
-        sd = np.load(path, allow_pickle=True)["state_dict"].item()
-    else:
-        with open(path, "rb") as f:
-            sd = pickle.load(f)["state_dict"]
-    sd = dict(sd)
+    sd = dict(_read_export_state_dict(path))
+    overrides = dict(sd.pop("__qlvl_overrides__", {}))
     for node in graph.qconv_nodes():
         qcfg = node.attrs["qcfg"]
         key = f"{node.name}.weight"
@@ -115,6 +133,20 @@ def load_int8_checkpoint(graph: Graph, variables, path: str):
             continue
         w = np.asarray(sd[key])
         if w.dtype in (np.uint8, np.int32):
+            saved = overrides.get(node.name)
+            if saved is not None and int(saved[0]) != qcfg.qlvl_w:
+                raise ValueError(
+                    f"{node.name}: export was packed at qlvl_w={saved[0]} "
+                    f"but the graph expects {qcfg.qlvl_w} — rebuild the "
+                    f"graph with apply_qlvl_overrides("
+                    f"read_export_qlvl_overrides(path)) (mixed-precision "
+                    f"export)")
+            if int(w.max(initial=0)) > qcfg.qlvl_w - 1:
+                raise ValueError(
+                    f"{node.name}: packed code {int(w.max())} exceeds "
+                    f"qlvl_w-1={qcfg.qlvl_w - 1} — the export was produced "
+                    f"at a different grid than the graph's qcfg (check "
+                    f"--qlvl_w/--mixed_qlvl flags vs the producing run)")
             alpha = np.asarray(sd[f"{node.name}.alpha_w"])
             sd[key] = unpack_int_weight(w, alpha, qcfg.qlvl_w)
     return load_torch_state_dict(graph, variables, sd)

@@ -200,6 +200,29 @@ def _precompile_layer_programs(graph, params, state, calib_x, captured,
     return compiled
 
 
+def apply_qlvl_overrides(graph: Graph,
+                         qlvl_overrides: Dict[str, Tuple[int, int]]) -> Graph:
+    """Pure rewrite: per-layer (qlvl_w, qlvl_act) grid overrides — the
+    mixed-precision mechanism (run_ptq_mixed).  The returned graph carries
+    the overridden qcfgs, so deployment (ptq/deploy.py) packs and fuses
+    each layer at its own grid, and PTQ exports reload on the right grids
+    (missions write the map as ``__qlvl_overrides__``;
+    torch_io.load_int8_checkpoint consumes it)."""
+    unknown = set(qlvl_overrides) - {n.name for n in graph.nodes}
+    if unknown:
+        raise ValueError(f"qlvl_overrides for unknown nodes: {unknown}")
+    new_nodes = []
+    for n in graph.nodes:
+        if n.name in qlvl_overrides and n.attrs.get("qcfg") is not None:
+            attrs = dict(n.attrs)
+            qw, qa = qlvl_overrides[n.name]
+            attrs["qcfg"] = dataclasses.replace(
+                attrs["qcfg"], qlvl_w=int(qw), qlvl_act=int(qa))
+            n = dataclasses.replace(n, attrs=attrs)
+        new_nodes.append(n)
+    return dataclasses.replace(graph, nodes=new_nodes, _index=None)
+
+
 def run_ptq(
     graph: Graph,
     variables,
@@ -242,23 +265,7 @@ def run_ptq(
     if fold:
         graph, variables = fold_bn(graph, variables)
     if qlvl_overrides:
-        # pure rewrite: per-layer (qlvl_w, qlvl_act) grid overrides — the
-        # mixed-precision mechanism (run_ptq_mixed).  The returned graph
-        # carries the overridden qcfgs, so deployment (ptq/deploy.py) packs
-        # and fuses each layer at its own grid.
-        unknown = set(qlvl_overrides) - {n.name for n in graph.nodes}
-        if unknown:
-            raise ValueError(f"qlvl_overrides for unknown nodes: {unknown}")
-        new_nodes = []
-        for n in graph.nodes:
-            if n.name in qlvl_overrides and n.attrs.get("qcfg") is not None:
-                attrs = dict(n.attrs)
-                qw, qa = qlvl_overrides[n.name]
-                attrs["qcfg"] = dataclasses.replace(
-                    attrs["qcfg"], qlvl_w=int(qw), qlvl_act=int(qa))
-                n = dataclasses.replace(n, attrs=attrs)
-            new_nodes.append(n)
-        graph = dataclasses.replace(graph, nodes=new_nodes, _index=None)
+        graph = apply_qlvl_overrides(graph, qlvl_overrides)
     params = {k: dict(v) for k, v in variables["params"].items()}
     state = variables.get("state", {})
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
-import numpy as np
 
 from .. import ops
 from .engine import run_ptq, run_ptq_mixed
@@ -64,7 +63,7 @@ def select_calibration(
 
     score_pairs = list(zip(candidate_imgs, candidate_labels))
     sn = [f"cand{i}" for i in range(len(candidate_imgs))]
-    results, scores = [], []
+    best, scores = None, []
     for i, img in enumerate(candidate_imgs):
         calib_x = ops.ncdhw_to_ndhwc(jnp.asarray(img))
         if mixed_frac:
@@ -78,14 +77,16 @@ def select_calibration(
                           patch_size=patch_size, overlap=overlap,
                           mode="quantized", patch_batch=2,
                           multilabel_fusetype=multilabel_fusetype)
-        score = sm[-1].get_metric()["dsc"]
+        score = float(sm[-1].get_metric()["dsc"])
         if verbose:
             print(f"calib_select candidate {i}: train-volume dice "
                   f"{score:.4f}")
-        results.append((fg, fv, report))
-        scores.append(float(score))
+        scores.append(score)
+        # keep only the best-so-far: each (fg, fv, report) holds a full
+        # quantized parameter set plus the FP calibration activations —
+        # retaining all K would cost K x model memory for nothing
+        if best is None or score > scores[best[0]]:
+            best = (i, fg, fv, report)
 
-    picked = int(np.argmax(scores))
-    selection = {"scores": scores, "picked": picked}
-    fg, fv, report = results[picked]
-    return fg, fv, report, selection
+    picked, fg, fv, report = best
+    return fg, fv, report, {"scores": scores, "picked": picked}

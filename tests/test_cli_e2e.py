@@ -182,3 +182,29 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
     got8 = dsc_vals(P.join(snap_inf, "infer", "val_seg.txt"))
     assert got8 and all(np.isfinite(got8))
     np.testing.assert_allclose(got8, want, atol=0.05)
+
+    # mixed-precision export roundtrip: the per-layer grids ship in the
+    # export (__qlvl_overrides__) and infer rebuilds them — reloading on
+    # the uniform CLI grids used to unpack lifted layers ~5x out of range
+    snap_mx = main([
+        "ptq", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--pretrain", ckpts[0],
+        "--patch_size", "8,8,8", "--access_type", "npy",
+        "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
+        "--q_first", "256,-1", "--q_last", "256,-1",
+        "--lwq_patchsz", "16,16,16", "--lwq_iter", "5",
+        "--mixed_frac", "0.5", "--no_test", "--suffix", "mx",
+        *TINY_MODEL,
+    ])
+    with open(P.join(snap_mx, "mixed_upgraded.txt")) as f:
+        assert f.read().strip(), "no layers lifted at mixed_frac 0.5"
+    mx_fp = main(INFER_ARGS + [
+        "--pretrain", P.join(snap_mx, "state_in_fp.pkl"),
+        "--suffix", "mxfp"])
+    mx_8 = main(INFER_ARGS + [
+        "--pretrain", P.join(snap_mx, "state_in_int8_compress.npz"),
+        "--suffix", "mx8"])
+    got_fp = dsc_vals(P.join(mx_fp, "infer", "val_seg.txt"))
+    got_8 = dsc_vals(P.join(mx_8, "infer", "val_seg.txt"))
+    assert got_fp and all(np.isfinite(got_fp))
+    np.testing.assert_allclose(got_8, got_fp, atol=0.05)
