@@ -41,6 +41,16 @@ def _device_watchdog(timeout_s: float = 180.0):
             "value": 0.0, "unit": "volumes/sec", "vs_baseline": 0.0,
             "error": f"device backend unreachable after {timeout_s:.0f}s "
                      "(TPU tunnel outage) — no measurement taken",
+            # the most recent hardware measurement (BASELINE.md, r3 chip
+            # run before the outage of 2026-08-17 ~21:00 UTC) so the round
+            # record is not empty; clearly NOT a fresh number
+            "last_measured_hw": {
+                "int8_async_vol_per_s": 20.5, "mixed_async_vol_per_s": 20.7,
+                "bf16_async_vol_per_s": 16.9,
+                "int8_device_ms_per_volume": 42.5,
+                "note": "relu-elision + bf16-emit changes landed after "
+                        "this measurement are unbenchmarked",
+            },
         }))
         sys.exit(0)
 
