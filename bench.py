@@ -115,11 +115,18 @@ def main():
         # the direct conv.
         extract_fn = None
         if os.environ.get("EFFQ_S2D_STEM") == "1":
-            g, v, stem = s2d_stem_serving(g, v)
-            if stem is not None and s2d_supported(
+            # geometry check BEFORE the graph rewrite: a rewritten graph fed
+            # with un-transformed patches would tuple-unpack the batch axis
+            # (review r3) — when unsupported, keep the original graph
+            stem0 = next((n for n in g.nodes
+                          if n.op == "conv"
+                          and n.inputs == (g.input_name,)), None)
+            if stem0 is not None and s2d_supported(
                     patch_grid(vol_shape, patch, overlap), patch, vol_shape,
-                    stem.attrs):
-                extract_fn = extract_s2d_patches
+                    stem0.attrs):
+                g, v, stem = s2d_stem_serving(g, v)
+                if stem is not None:
+                    extract_fn = extract_s2d_patches
 
         @jax.jit
         def infer_volume(v, image):
@@ -204,13 +211,27 @@ def main():
     # 1-3 mistakenly used 18 here (a stale grid count), overstating
     # conv_tflops_per_volume and MFU by 2.25x.
     def graph_flops(g, batch, spatial):
-        conv_names = [n.name for n in g.conv_nodes()]
+        # count only convs reachable from the SERVING output: every timed
+        # variant runs channels_first_tail(g), whose single final-head
+        # output lets XLA DCE the aux classifiers — counting those convs
+        # overstated MFU by ~1% (review r3; same error class as the
+        # 18-vs-8 grid overcount below)
+        tail = channels_first_tail(g)
+        reach, stack = set(tail.outputs), list(tail.outputs)
+        while stack:
+            for i in tail.node(stack.pop()).inputs:
+                if i not in reach:
+                    reach.add(i)
+                    stack.append(i)
+        conv_names = [n.name for n in g.conv_nodes() if n.name in reach]
         shapes = jax.eval_shape(
             lambda xx: nnir.apply(g, fvars, xx, mode="fp",
                                   capture=conv_names)[1],
             jax.ShapeDtypeStruct((batch, *spatial, 4), jnp.float32))
         total = 0
         for n in g.conv_nodes():
+            if n.name not in reach:
+                continue
             a = n.attrs
             out_sh = shapes[n.name].shape  # (N, D, H, W, O)
             k = int(np.prod(a["kernel_size"]))

@@ -87,11 +87,18 @@ def choose_patch_batch(
     n_patches = (len(patch_grid(vol_shape, ops.triple(patch_size),
                                 ops.triple(overlap)))
                  * example_image.shape[0])
+    # deployment signature: to_int8_inference/fuse_int8_epilogues preserve
+    # node count and out_ch, but an int8-Pallas graph has a very different
+    # VMEM/HBM envelope than the fake-quant graph it came from — without
+    # these counts the disk cache would reuse a patch_batch tuned for a
+    # different deployment variant (review r3)
     gsig = (len(graph.nodes),
-            tuple(n.attrs.get("out_ch", 0) for n in graph.conv_nodes()))
+            tuple(n.attrs.get("out_ch", 0) for n in graph.conv_nodes()),
+            sum(bool(n.attrs.get("int8")) for n in graph.nodes),
+            sum(bool(n.attrs.get("pallas")) for n in graph.nodes))
     # n_patches covers the loader batch dimension: a different
     # test_batchsize changes both the optimum and the OOM envelope
-    key = str(("v2", vol_shape, n_patches, tuple(ops.triple(patch_size)),
+    key = str(("v3", vol_shape, n_patches, tuple(ops.triple(patch_size)),
                tuple(ops.triple(overlap)), mode, str(precision), gsig,
                (heads.start, heads.stop, heads.step)
                if heads is not None else None))

@@ -73,6 +73,20 @@ class Graph:
         them in its single 'quantizing' forward (src/ptqer.py:361-362)."""
         return [n for n in self.nodes if n.op == "conv" and n.attrs.get("qcfg")]
 
+    def consumers(self, nodes: Optional[Dict[str, Node]] = None
+                  ) -> Dict[str, List[str]]:
+        """{producer name: [consumer names]}.  Graph outputs appear as the
+        external consumer ``"__output__"``.  ``nodes`` optionally substitutes
+        in-flight rewritten nodes (same names, possibly rewired inputs) so a
+        rewrite pass can ask for consumers of its working set."""
+        out: Dict[str, List[str]] = {}
+        for n in self.nodes:
+            for i in (nodes[n.name] if nodes is not None else n).inputs:
+                out.setdefault(i, []).append(n.name)
+        for o in self.outputs:
+            out.setdefault(o, []).append("__output__")
+        return out
+
 
 # ---------------------------------------------------------------------------
 # graph construction helpers

@@ -37,14 +37,7 @@ _TRANSPARENT = ("identity", "dropout")
 
 
 def _consumers(graph: Graph) -> Dict[str, List[str]]:
-    out: Dict[str, List[str]] = {}
-    for n in graph.nodes:
-        for i in n.inputs:
-            out.setdefault(i, []).append(n.name)
-    # graph outputs are external consumers
-    for o in graph.outputs:
-        out.setdefault(o, []).append("__output__")
-    return out
+    return graph.consumers()
 
 
 def _follow_transparent(nodes, cons, name):
@@ -151,12 +144,7 @@ def _elide_relus(graph: Graph, nodes: Dict[str, Node]) -> None:
     residual is unchanged."""
     # consumers of the REWRITTEN nodes (rewrites #1/#2 moved edges, e.g.
     # the residual operand was appended to the conv's inputs)
-    cons: Dict[str, List[str]] = {}
-    for n0 in graph.nodes:
-        for i in nodes[n0.name].inputs:
-            cons.setdefault(i, []).append(n0.name)
-    for o in graph.outputs:
-        cons.setdefault(o, []).append("__output__")
+    cons = graph.consumers(nodes)
     for n in graph.nodes:
         if n.op != "relu" or n.name in graph.outputs:
             continue

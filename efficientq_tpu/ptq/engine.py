@@ -94,13 +94,8 @@ def block_calibration_targets(graph: Graph) -> Dict[str, Tuple[str, str]]:
     value-preserving (mid/pre block orderings after fold_bn; 'post' blocks
     have a relu between conv and add and fall back to layer-wise).
     """
-    cons: Dict[str, List[str]] = {}
+    cons = graph.consumers()
     nodes = {n.name: n for n in graph.nodes}
-    for n in graph.nodes:
-        for i in n.inputs:
-            cons.setdefault(i, []).append(n.name)
-    for o in graph.outputs:
-        cons.setdefault(o, []).append("__output__")
     order = {n.name: i for i, n in enumerate(graph.nodes)}
 
     out: Dict[str, Tuple[str, str]] = {}

@@ -32,8 +32,9 @@ sys.path.insert(0, P.dirname(P.dirname(P.abspath(__file__))))
 
 import jax
 
-if os.environ.get("EFFQ_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["EFFQ_PLATFORM"])
+from efficientq_tpu.cli.entrance import enable_compilation_cache
+
+enable_compilation_cache()
 
 import jax.numpy as jnp
 import numpy as np

@@ -20,12 +20,11 @@ sys.path.insert(0, P.dirname(P.dirname(P.abspath(__file__))))
 
 import jax
 
-# EFFQ_PLATFORM=cpu|tpu pins the backend before any device touch (same
-# contract as cli/entrance.py — the ambient sitecustomize ignores
-# JAX_PLATFORMS, so jax.config is the only reliable pin).
-import os
-if os.environ.get("EFFQ_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["EFFQ_PLATFORM"])
+# EFFQ_PLATFORM pin + persistent compile cache (must run before any device
+# touch; owns the jax.config-based pin the ambient sitecustomize requires)
+from efficientq_tpu.cli.entrance import enable_compilation_cache
+
+enable_compilation_cache()
 
 import numpy as np
 
