@@ -63,6 +63,30 @@ def validate_seg(
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
     sn_counter = -1
+
+    def process(preds_dev, masks):
+        """Materialize one volume's predictions and run host-side metrics."""
+        nonlocal sn_counter
+        preds = np.asarray(preds_dev)  # (M, N, D, H, W, C)
+        N = preds.shape[1]
+        for j in range(N):
+            sn_counter += 1
+            for i in range(-num_mo, 0):
+                seg_out = np.moveaxis(preds[i, j], -1, 0)  # (C, D, H, W)
+                label = np.asarray(masks[j])
+                pred = sm[i].evaluate_append(
+                    seg_out, label, multilabel_fusetype=multilabel_fusetype)
+                if save_dir and i == -1:
+                    _save_nii(pred, sn_list, sn_counter, sn_fn_dict, save_dir,
+                              merge_label_func, multilabel_fusetype,
+                              restore_shape_func, restore_infokw)
+
+    # 1-deep pipeline: dispatch volume i+1's (async) device computation
+    # before materializing volume i, so host-side metrics/NIfTI work and
+    # the next upload overlap device compute instead of serializing with
+    # it (the bench's sync -> async serving gap).  Costs one extra
+    # in-flight prediction canvas of device memory.
+    pending = None
     for images, masks in iter(loader):
         x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
         if infer is None:
@@ -75,21 +99,13 @@ def validate_seg(
                                         precision=precision)
             infer = make_jitted_volume_inferencer(
                 graph, patch_batch=pb, mode=mode, precision=precision)
-        preds = infer(variables, x, tuple(ops.triple(patch_size)),
-                      tuple(ops.triple(overlap)))
-        preds = np.asarray(preds)  # (M, N, D, H, W, C)
-        M, N = preds.shape[:2]
-        for j in range(N):
-            sn_counter += 1
-            for i in range(-num_mo, 0):
-                seg_out = np.moveaxis(preds[i, j], -1, 0)  # (C, D, H, W)
-                label = np.asarray(masks[j])
-                pred = sm[i].evaluate_append(
-                    seg_out, label, multilabel_fusetype=multilabel_fusetype)
-                if save_dir and i == -1:
-                    _save_nii(pred, sn_list, sn_counter, sn_fn_dict, save_dir,
-                              merge_label_func, multilabel_fusetype,
-                              restore_shape_func, restore_infokw)
+        preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
+                          tuple(ops.triple(overlap)))
+        if pending is not None:
+            process(*pending)
+        pending = (preds_dev, masks)
+    if pending is not None:
+        process(*pending)
     return sm
 
 
@@ -127,6 +143,24 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
     infer = None
     sn_counter = -1
     final_head = slice(-1, None)  # aux heads DCE'd out (see sliding.py)
+
+    def process(preds_dev):
+        nonlocal sn_counter
+        preds = np.asarray(preds_dev)
+        for j in range(preds.shape[1]):
+            sn_counter += 1
+            seg_out = np.moveaxis(preds[-1, j], -1, 0)
+            if merge_label_func:
+                pred = (1 / (1 + np.exp(-seg_out)) >= 0.5).astype(np.int32)
+            else:
+                pred = np.argmax(seg_out, axis=0)
+            _save_nii(pred, sn_list, sn_counter, sn_fn_dict, save_dir,
+                      merge_label_func, multilabel_fusetype,
+                      restore_shape_func, restore_infokw, suffix)
+
+    # 1-deep pipeline, same rationale as validate_seg: NIfTI encoding of
+    # volume i overlaps the device computing volume i+1
+    pending = None
     for images, _ in iter(loader):
         x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
         if infer is None:
@@ -140,18 +174,13 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
             infer = make_jitted_volume_inferencer(graph, patch_batch=pb,
                                                   mode=mode,
                                                   heads=final_head)
-        preds = np.asarray(infer(variables, x, tuple(ops.triple(patch_size)),
-                                 tuple(ops.triple(overlap))))
-        for j in range(preds.shape[1]):
-            sn_counter += 1
-            seg_out = np.moveaxis(preds[-1, j], -1, 0)
-            if merge_label_func:
-                pred = (1 / (1 + np.exp(-seg_out)) >= 0.5).astype(np.int32)
-            else:
-                pred = np.argmax(seg_out, axis=0)
-            _save_nii(pred, sn_list, sn_counter, sn_fn_dict, save_dir,
-                      merge_label_func, multilabel_fusetype,
-                      restore_shape_func, restore_infokw, suffix)
+        preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
+                          tuple(ops.triple(overlap)))
+        if pending is not None:
+            process(pending)
+        pending = preds_dev
+    if pending is not None:
+        process(pending)
 
 
 def true_test_inference(graph, variables, data, save_dir, mode="fp",
