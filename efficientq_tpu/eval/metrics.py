@@ -140,11 +140,26 @@ class SegMetricMC:
         if multilabel:
             assert seg_out.shape == label.shape
             pred = (1.0 / (1.0 + np.exp(-seg_out)) >= 0.5).astype(np.int32)
+        else:
+            pred = np.argmax(seg_out, axis=0)
+        return self.evaluate_append_pred(pred, label, multilabel,
+                                         multilabel_fusetype)
+
+    def evaluate_append_pred(self, pred: np.ndarray, label: np.ndarray,
+                             multilabel: bool,
+                             multilabel_fusetype: Optional[str] = None
+                             ) -> np.ndarray:
+        """Accumulate from an already-hard prediction — (C, D, H, W) binary
+        per-class (multilabel) or (D, H, W) class ids (argmax).  Lets the
+        caller compute the prediction on device (eval/sliding.py
+        ``hard_pred``) and transfer uint8 instead of float logits."""
+        pred = np.asarray(pred)
+        label = np.asarray(label)
+        if multilabel:
+            assert pred.shape == label.shape
             if multilabel_fusetype:
                 from ..data.labels import merge_label_basic
                 pred = merge_label_basic(pred, multilabel_fusetype)
-        else:
-            pred = np.argmax(seg_out, axis=0)
 
         for m in self.metric_names:
             vals = []

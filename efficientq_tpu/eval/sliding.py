@@ -155,10 +155,18 @@ def sliding_window_inference(
 
 
 def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
-                                  precision=None, heads=None):
+                                  precision=None, heads=None,
+                                  hard_pred=False, multilabel=False):
     """Returns infer(variables, image, patch_size, overlap) jitted per
     (volume shape, patch size) signature.  ``heads``: see
-    sliding_window_inference."""
+    sliding_window_inference.
+
+    ``hard_pred``: compute the hard segmentation ON DEVICE and return uint8
+    — (M, N, D, H, W, C) per-class binaries when ``multilabel`` (sign test:
+    sigmoid(x) >= 0.5 <=> x >= 0, same rule as serving's
+    pred_brats_con_merge), else (M, N, D, H, W) argmax class ids.  The
+    host transfer shrinks 4x (multilabel) / 4*C x (argmax) vs f32 logits;
+    SegMetricMC.evaluate_append_pred consumes the result directly."""
     from .. import nnir
 
     @partial(jax.jit, static_argnames=("patch_size", "overlap"))
@@ -167,7 +175,13 @@ def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
             return nnir.apply(graph, variables, xb, mode=mode,
                               precision=precision)
 
-        return sliding_window_inference(model_fn, image, patch_size, overlap,
-                                        patch_batch, heads=heads)
+        out = sliding_window_inference(model_fn, image, patch_size, overlap,
+                                       patch_batch, heads=heads)
+        if hard_pred:
+            if multilabel:
+                out = (out >= 0).astype(jnp.uint8)
+            else:
+                out = jnp.argmax(out, axis=-1).astype(jnp.uint8)
+        return out
 
     return infer

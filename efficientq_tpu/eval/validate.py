@@ -52,12 +52,18 @@ def validate_seg(
     (eval/autotune.py) and uses 2 elsewhere.
     """
     sm = [SegMetricMC(n_class, sn_list, is_cc=is_cc) for _ in range(num_mo)]
+    multilabel = None  # set from the first batch's label rank
+
     if mesh is not None:
         from ..parallel.mesh import shard_patch_inference
 
         def infer(variables, x, patch, ov):
-            return shard_patch_inference(graph, mesh, variables, x, patch,
-                                         ov, mode=mode, precision=precision)
+            preds = shard_patch_inference(graph, mesh, variables, x, patch,
+                                          ov, mode=mode, precision=precision)
+            # same on-device hard prediction as the single-device path
+            if multilabel:
+                return (preds >= 0).astype(jnp.uint8)
+            return jnp.argmax(preds, axis=-1).astype(jnp.uint8)
     else:
         infer = None  # created on the first volume (auto-tuning needs one)
     if save_dir:
@@ -65,17 +71,22 @@ def validate_seg(
     sn_counter = -1
 
     def process(preds_dev, masks):
-        """Materialize one volume's predictions and run host-side metrics."""
+        """Materialize one volume's hard predictions (uint8 — argmax /
+        sign-test computed on device) and accumulate host-side metrics."""
         nonlocal sn_counter
-        preds = np.asarray(preds_dev)  # (M, N, D, H, W, C)
+        preds = np.asarray(preds_dev)  # (M, N, D, H, W[, C])
         N = preds.shape[1]
         for j in range(N):
             sn_counter += 1
             for i in range(-num_mo, 0):
-                seg_out = np.moveaxis(preds[i, j], -1, 0)  # (C, D, H, W)
+                if multilabel:
+                    seg = np.moveaxis(preds[i, j], -1, 0)  # (C, D, H, W)
+                else:
+                    seg = preds[i, j]  # (D, H, W) class ids
                 label = np.asarray(masks[j])
-                pred = sm[i].evaluate_append(
-                    seg_out, label, multilabel_fusetype=multilabel_fusetype)
+                pred = sm[i].evaluate_append_pred(
+                    seg, label, multilabel,
+                    multilabel_fusetype=multilabel_fusetype)
                 if save_dir and i == -1:
                     _save_nii(pred, sn_list, sn_counter, sn_fn_dict, save_dir,
                               merge_label_func, multilabel_fusetype,
@@ -89,6 +100,10 @@ def validate_seg(
     pending = None
     for images, masks in iter(loader):
         x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
+        if multilabel is None:
+            # label (N, C, D, H, W) -> per-class sigmoid path; (N, D, H, W)
+            # -> argmax path (same rank rule as evaluate_append)
+            multilabel = np.asarray(masks).ndim == 5
         if infer is None:
             pb = patch_batch
             if pb == "auto":
@@ -98,7 +113,8 @@ def validate_seg(
                                         overlap, mode=mode,
                                         precision=precision)
             infer = make_jitted_volume_inferencer(
-                graph, patch_batch=pb, mode=mode, precision=precision)
+                graph, patch_batch=pb, mode=mode, precision=precision,
+                hard_pred=True, multilabel=multilabel)
         preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
                           tuple(ops.triple(overlap)))
         if pending is not None:
@@ -143,17 +159,17 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
     infer = None
     sn_counter = -1
     final_head = slice(-1, None)  # aux heads DCE'd out (see sliding.py)
+    multilabel = merge_label_func is not None  # per-class sigmoid path
 
     def process(preds_dev):
         nonlocal sn_counter
-        preds = np.asarray(preds_dev)
+        preds = np.asarray(preds_dev)  # uint8 hard predictions (on-device)
         for j in range(preds.shape[1]):
             sn_counter += 1
-            seg_out = np.moveaxis(preds[-1, j], -1, 0)
-            if merge_label_func:
-                pred = (1 / (1 + np.exp(-seg_out)) >= 0.5).astype(np.int32)
+            if multilabel:
+                pred = np.moveaxis(preds[-1, j], -1, 0)  # (C, D, H, W)
             else:
-                pred = np.argmax(seg_out, axis=0)
+                pred = preds[-1, j]  # (D, H, W) class ids
             _save_nii(pred, sn_list, sn_counter, sn_fn_dict, save_dir,
                       merge_label_func, multilabel_fusetype,
                       restore_shape_func, restore_infokw, suffix)
@@ -173,7 +189,9 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
                                         heads=final_head)
             infer = make_jitted_volume_inferencer(graph, patch_batch=pb,
                                                   mode=mode,
-                                                  heads=final_head)
+                                                  heads=final_head,
+                                                  hard_pred=True,
+                                                  multilabel=multilabel)
         preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
                           tuple(ops.triple(overlap)))
         if pending is not None:
