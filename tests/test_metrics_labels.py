@@ -54,6 +54,41 @@ def test_seg_metric_mc_multilabel_path_with_fusion():
     assert m["dsc"] > 0.99
 
 
+def test_hard_pred_path_matches_logits_path():
+    """evaluate_append_pred fed the DEVICE hard-pred rule (sliding.py
+    ``hard_pred``: sign test / last-axis argmax, uint8) accumulates the
+    exact same metrics as evaluate_append fed raw f32 logits — the
+    eval-loop pipelining (validate.py) must not change any number."""
+    rng = np.random.RandomState(3)
+
+    # multilabel (sigmoid >= 0.5 <=> logit >= 0), with fusion
+    logits = rng.randn(2, 5, 6, 7).astype(np.float32)
+    label = (rng.rand(2, 5, 6, 7) > 0.5).astype(np.float32)
+    label[1] *= label[0]  # hierarchical, as BraTS labels are
+    sm_ref = M.SegMetricMC(n_class=2, sn_list=["a"])
+    pred_ref = sm_ref.evaluate_append(logits, label, multilabel_fusetype="con")
+    # device rule operates channel-minor then the host moveaxis restores (C,...)
+    hard = np.moveaxis((np.moveaxis(logits, 0, -1) >= 0).astype(np.uint8),
+                       -1, 0)
+    sm_hard = M.SegMetricMC(n_class=2, sn_list=["a"])
+    pred_hard = sm_hard.evaluate_append_pred(hard, label, multilabel=True,
+                                             multilabel_fusetype="con")
+    np.testing.assert_array_equal(pred_ref, pred_hard)
+    assert sm_ref.get_metric() == sm_hard.get_metric()
+
+    # argmax path (class ids), including exact-tie voxels
+    logits = rng.randn(3, 5, 6, 7).astype(np.float32)
+    logits[0, 0, 0, 0] = logits[1, 0, 0, 0]  # tie: both take first-max
+    label = rng.randint(0, 3, (5, 6, 7))
+    sm_ref = M.SegMetricMC(n_class=3, sn_list=["a"])
+    pred_ref = sm_ref.evaluate_append(logits, label)
+    hard = np.argmax(np.moveaxis(logits, 0, -1), axis=-1).astype(np.uint8)
+    sm_hard = M.SegMetricMC(n_class=3, sn_list=["a"])
+    pred_hard = sm_hard.evaluate_append_pred(hard, label, multilabel=False)
+    np.testing.assert_array_equal(pred_ref, pred_hard)
+    assert sm_ref.get_metric() == sm_hard.get_metric()
+
+
 def test_brats_label_roundtrip():
     # on-disk labels use the remapped convention {0,1=NCR,2=ED,3=ET}
     # (split_label_brats, misc.py:260-266); merge emits the BraTS eval
