@@ -266,3 +266,30 @@ def test_run_ptq_with_mesh_matches_single_device(tmp_path):
     np.testing.assert_allclose(np.asarray(r_mesh.output_q),
                                np.asarray(r_1dev.output_q),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_validate_seg_mesh_multilabel_matches_single_device():
+    """validate_seg(mesh=...) on the MULTILABEL (sigmoid/sign-test) branch:
+    the mesh path's on-device hard prediction (validate.py) must yield the
+    same metrics as the single-device pipeline."""
+    from efficientq_tpu.eval.validate import validate_seg
+
+    cfg, graph, variables = tiny()
+    num_mo = len(graph.outputs)
+    rng = np.random.RandomState(11)
+    loader = [
+        (rng.randn(1, 1, 16, 16, 16).astype(np.float32),
+         (rng.rand(1, 3, 16, 16, 16) > 0.5).astype(np.float32))
+        for _ in range(2)
+    ]
+    kw = dict(num_mo=num_mo, n_class=3, patch_size=(8, 8, 8),
+              overlap=(4, 4, 4), patch_batch=2)
+    sm_mesh = validate_seg(graph, variables, loader, ["a", "b"],
+                           mesh=make_mesh(), **kw)
+    sm_one = validate_seg(graph, variables, loader, ["a", "b"], **kw)
+    for i in range(num_mo):
+        assert len(sm_mesh[i]) == 2
+        m, o = sm_mesh[i].get_metric(), sm_one[i].get_metric()
+        assert m.keys() == o.keys()
+        for k in m:
+            assert abs(m[k] - o[k]) < 1e-6, (i, k, m[k], o[k])
