@@ -152,25 +152,39 @@ def _calib_crop_shape(args, img):
     return [min(x, 192) // 64 * 64 for x in img.shape[-3:]]
 
 
-def _calib_sequence(args, hub, count):
+def _calib_sequence(args, hub, count, per_volume=False):
     """``count`` sequential center-cropped (img, label) pairs after the
     --lwq_dataid skip (ptqer.py:83-111), with a descriptive error when the
-    train split is too short (bare StopIteration otherwise)."""
+    train split is too short (bare StopIteration otherwise).
+
+    ``per_volume=False`` keeps the reference's unit: each item is one
+    trainseqloader BATCH (test_batch_size volumes — the reference's
+    get_calibration_data counts batches for both --lwq_dataid and
+    --lwq_batchsz, ptqer.py:87-103).  ``per_volume=True`` flattens batches
+    so each item is exactly ONE volume — --lwq_select scores candidates
+    individually, so its unit must be a volume regardless of
+    --test_batch_size."""
     hub.trainseqloader.dataset.use_fix_transform()
     it = iter(hub.trainseqloader)
     pairs = []
     try:
         for _ in range(args.lwq_dataid):
             next(it)
-        for _ in range(count):
+        while len(pairs) < count:
             img, label = next(it)
             shape = _calib_crop_shape(args, img)
-            pairs.append((center_crop(img, shape),
-                          center_crop(label, shape)))
+            img, label = center_crop(img, shape), center_crop(label, shape)
+            if per_volume:
+                for j in range(img.shape[0]):
+                    if len(pairs) < count:
+                        pairs.append((img[j:j + 1], label[j:j + 1]))
+            else:
+                pairs.append((img, label))
     except StopIteration:
+        unit = "volumes" if per_volume else "batches"
         raise ValueError(
             f"calibration needs --lwq_dataid ({args.lwq_dataid}) + {count} "
-            f"sequential volumes, but the train split has fewer") from None
+            f"sequential {unit}, but the train split has fewer") from None
     return pairs
 
 
@@ -186,7 +200,7 @@ def get_calibration_data(args, hub):
 def get_calibration_candidates(args, hub):
     """K sequential candidate (img, label) volume pairs for --lwq_select,
     each center-cropped by the same rule as the single-volume path."""
-    pairs = _calib_sequence(args, hub, args.lwq_select)
+    pairs = _calib_sequence(args, hub, args.lwq_select, per_volume=True)
     return [p[0] for p in pairs], [p[1] for p in pairs]
 
 
@@ -200,19 +214,14 @@ def ptq(args):
     qinfo = definer.qinfo_string(args)
     snap_dir = definer.make_snapshot_dir(args, "exp_ptq", model_info, qinfo)
 
-    # load pretrained FP weights (torch or our pickle; ptq_seg.py:19-21)
-    assert args.pretrain, "PTQ requires --pretrain"
+    # load pretrained FP weights (torch or our pickle; ptq_seg.py:19-21) —
+    # load_torch_checkpoint already tries torch.load, falls back to plain
+    # pickle, and unwraps {'state_dict': ...}
+    if not args.pretrain:
+        raise ValueError("PTQ requires --pretrain")
     print("pretrain is :", args.pretrain)
-    try:
-        variables = torch_io.load_torch_checkpoint(graph, variables,
-                                                   args.pretrain)
-    except Exception:
-        import pickle
-
-        with open(args.pretrain, "rb") as f:
-            payload = pickle.load(f)
-        variables = torch_io.load_torch_state_dict(
-            graph, variables, payload["state_dict"])
+    variables = torch_io.load_torch_checkpoint(graph, variables,
+                                               args.pretrain)
 
     # multi-chip calibration + eval: Gram accumulation and the patch grid
     # shard over the mesh (parallel/ptq.py, parallel/mesh.py)

@@ -28,7 +28,10 @@ def grid_starts(size: int, patch: int, overlap: int) -> List[int]:
     """Start offsets along one axis, mirroring
     ``l[0 : d-p : p-o] + [d-p]`` (utils/transforms.py:795-797) — including
     the duplicate terminal start when (size - patch) lands on the grid."""
-    assert patch <= size, f"patch {patch} > size {size}"
+    if patch > size:
+        # a real exception, not assert: under python -O a silent negative
+        # start would wrap the stitch indices and corrupt the segmentation
+        raise ValueError(f"patch {patch} > volume extent {size}")
     return list(range(0, size - patch, patch - overlap)) + [size - patch]
 
 
@@ -175,8 +178,12 @@ def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
             return nnir.apply(graph, variables, xb, mode=mode,
                               precision=precision)
 
+        # hard predictions are invariant to the overlap-average division
+        # (positive per-voxel count shared across classes), so skip the
+        # full-volume normalize pass when the caller only wants them
         out = sliding_window_inference(model_fn, image, patch_size, overlap,
-                                       patch_batch, heads=heads)
+                                       patch_batch, heads=heads,
+                                       normalize=not hard_pred)
         if hard_pred:
             if multilabel:
                 out = (out >= 0).astype(jnp.uint8)

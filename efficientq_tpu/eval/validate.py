@@ -54,18 +54,11 @@ def validate_seg(
     sm = [SegMetricMC(n_class, sn_list, is_cc=is_cc) for _ in range(num_mo)]
     multilabel = None  # set from the first batch's label rank
 
-    if mesh is not None:
-        from ..parallel.mesh import shard_patch_inference
-
-        def infer(variables, x, patch, ov):
-            preds = shard_patch_inference(graph, mesh, variables, x, patch,
-                                          ov, mode=mode, precision=precision)
-            # same on-device hard prediction as the single-device path
-            if multilabel:
-                return (preds >= 0).astype(jnp.uint8)
-            return jnp.argmax(preds, axis=-1).astype(jnp.uint8)
-    else:
-        infer = None  # created on the first volume (auto-tuning needs one)
+    # inferencer built on the first volume: the auto-tuner needs an example
+    # volume, and the hard-pred rule (sign test vs argmax) needs the label
+    # rank — both single-device and mesh makers compile once per signature
+    # and return uint8 hard predictions straight from the device
+    infer = None
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
     sn_counter = -1
@@ -105,16 +98,23 @@ def validate_seg(
             # -> argmax path (same rank rule as evaluate_append)
             multilabel = np.asarray(masks).ndim == 5
         if infer is None:
-            pb = patch_batch
-            if pb == "auto":
-                from .autotune import choose_patch_batch
+            if mesh is not None:
+                from ..parallel.mesh import make_sharded_volume_inferencer
 
-                pb = choose_patch_batch(graph, variables, x, patch_size,
-                                        overlap, mode=mode,
-                                        precision=precision)
-            infer = make_jitted_volume_inferencer(
-                graph, patch_batch=pb, mode=mode, precision=precision,
-                hard_pred=True, multilabel=multilabel)
+                infer = make_sharded_volume_inferencer(
+                    graph, mesh, mode=mode, precision=precision,
+                    hard_pred=True, multilabel=multilabel)
+            else:
+                pb = patch_batch
+                if pb == "auto":
+                    from .autotune import choose_patch_batch
+
+                    pb = choose_patch_batch(graph, variables, x, patch_size,
+                                            overlap, mode=mode,
+                                            precision=precision)
+                infer = make_jitted_volume_inferencer(
+                    graph, patch_batch=pb, mode=mode, precision=precision,
+                    hard_pred=True, multilabel=multilabel)
         preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
                           tuple(ops.triple(overlap)))
         if pending is not None:

@@ -14,6 +14,7 @@ functions; no collectives are written by hand.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -134,39 +135,78 @@ def tensor_parallel_apply(graph, mesh, variables, x, axis_name: str = "model",
     return fwd(params, state, x)
 
 
-def shard_patch_inference(graph, mesh, variables, image, patch_size, overlap,
-                          mode: str = "fp", axis_name: str = "data",
-                          precision=None):
-    """Whole-volume sliding-window inference with the patch grid sharded
-    across the mesh (the reference's long-axis analogue, SURVEY.md §2.2).
+def make_sharded_volume_inferencer(graph, mesh, mode: str = "fp",
+                                   axis_name: str = "data", precision=None,
+                                   hard_pred: bool = False,
+                                   multilabel: bool = False):
+    """Compile-once sharded analogue of
+    eval.sliding.make_jitted_volume_inferencer (the reference's long-axis
+    analogue, SURVEY.md §2.2): patch extraction, the mesh-sharded forward,
+    the on-device stitch, and optionally the hard prediction are ONE jitted
+    program per (volume shape, patch size) signature.
 
-    Pads the patch batch to a multiple of the mesh size, runs all patches in
-    one sharded forward, drops the padding, stitches on host device 0.
+    Two pitfalls of a naive per-volume implementation are avoided: a fresh
+    ``@jax.jit`` per volume retraces/recompiles every call, and a host-side
+    stitch round-trips the full f32 multi-head patch logits (larger than
+    the volume, due to overlap) through the host instead of transferring
+    uint8 hard predictions.  Variables are replicated onto the mesh once
+    and cached by identity.
     """
     import jax.numpy as jnp
 
     from .. import nnir, ops
     from ..eval.sliding import extract_patches, patch_grid, stitch_patches
 
-    patch_size = ops.triple(patch_size)
-    vol_shape = image.shape[1:4]
-    starts = patch_grid(vol_shape, patch_size, overlap)
-    patches = extract_patches(image, starts, patch_size)  # (P, N, ...)
-    Pn, N = patches.shape[0], patches.shape[1]
-    flat = patches.reshape(Pn * N, *patches.shape[2:])
+    xsh = batch_sharding(mesh, axis_name)
     n_dev = mesh.devices.size
-    pad = (-flat.shape[0]) % n_dev
-    if pad:
-        flat = jnp.concatenate([flat, jnp.repeat(flat[:1], pad, axis=0)])
-    flat = jax.device_put(np.asarray(flat), batch_sharding(mesh, axis_name))
-    var_r = replicate(mesh, variables)
 
-    @jax.jit
-    def fwd(v, xb):
-        return nnir.apply(graph, v, xb, mode=mode, precision=precision)
+    @partial(jax.jit, static_argnames=("patch_size", "overlap"))
+    def run(variables, image, patch_size, overlap):
+        vol_shape = image.shape[1:4]
+        starts = patch_grid(vol_shape, patch_size, overlap)
+        patches = extract_patches(image, starts, patch_size)  # (P, N, ...)
+        Pn, N = patches.shape[0], patches.shape[1]
+        flat = patches.reshape(Pn * N, *patches.shape[2:])
+        pad = (-flat.shape[0]) % n_dev
+        if pad:
+            flat = jnp.concatenate([flat, jnp.repeat(flat[:1], pad, axis=0)])
+        flat = jax.lax.with_sharding_constraint(flat, xsh)
+        out = nnir.apply(graph, variables, flat, mode=mode,
+                         precision=precision)  # (M, P*N+pad, pd, ph, pw, C)
+        out = out[:, :Pn * N]
+        M = out.shape[0]
+        out = out.reshape(M, Pn, N, *out.shape[2:])
+        out = jnp.moveaxis(out, 1, 0)  # patch axis first
+        # hard predictions are invariant to the overlap-average division
+        # (sliding.py), so skip the normalize pass when only they are kept
+        stitched = stitch_patches(out, starts, vol_shape,
+                                  normalize=not hard_pred)
+        if hard_pred:
+            if multilabel:
+                return (stitched >= 0).astype(jnp.uint8)
+            return jnp.argmax(stitched, axis=-1).astype(jnp.uint8)
+        return stitched
 
-    out = fwd(var_r, flat)  # (M, P*N+pad, pd, ph, pw, C)
-    out = out[:, :Pn * N]
-    M = out.shape[0]
-    out = out.reshape(M, Pn, N, *out.shape[2:]).transpose(1, 0, 2, 3, 4, 5, 6)
-    return stitch_patches(jax.device_get(out), starts, vol_shape)
+    cache = {"vars": None, "repl": None}
+
+    def infer(variables, image, patch_size, overlap):
+        if cache["vars"] is not variables:
+            cache["vars"] = variables
+            cache["repl"] = replicate(mesh, variables)
+        return run(cache["repl"], jnp.asarray(image),
+                   tuple(ops.triple(patch_size)),
+                   tuple(ops.triple(overlap)))
+
+    return infer
+
+
+def shard_patch_inference(graph, mesh, variables, image, patch_size, overlap,
+                          mode: str = "fp", axis_name: str = "data",
+                          precision=None):
+    """One-shot wrapper around :func:`make_sharded_volume_inferencer` —
+    builds (and compiles) the inferencer per call; loops over many volumes
+    should hold the maker's result instead."""
+    infer = make_sharded_volume_inferencer(graph, mesh, mode=mode,
+                                           axis_name=axis_name,
+                                           precision=precision)
+    return infer(variables, image, patch_size, overlap)

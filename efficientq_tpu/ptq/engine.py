@@ -334,6 +334,18 @@ def run_ptq(
         for src in n.inputs:
             last_use[src] = max(last_use.get(src, -1), pos)
 
+    def free_dead(pos):
+        """Drop device activations no node after ``pos`` consumes: without
+        this every full-volume intermediate stays alive for the whole
+        sweep, and peak device memory grows with network depth instead of
+        the live frontier (the pressure that needlessly trips the
+        RESOURCE_EXHAUSTED -> CPU fallback on deep configs).  Safe for the
+        block-granularity residual lookup: the residual stream feeds the
+        block's add node, which sits after the exit conv being
+        calibrated."""
+        for name in [k for k in values if last_use.get(k, -1) <= pos]:
+            del values[name]
+
     def run_glue_segment(seg, seg_end_pos):
         """Execute a run of non-calibrated nodes as one jitted program."""
         produced = {n.name for n in seg}
@@ -355,6 +367,7 @@ def run_ptq(
         outs = jax.jit(fn)(seg_params, seg_state,
                            tuple(values[x] for x in in_names))
         values.update(zip(out_names, outs))
+        free_dead(seg_end_pos)
 
     glue: List = []
     for pos, node in enumerate(graph.nodes):
@@ -457,6 +470,7 @@ def run_ptq(
                                  node.attrs["dilation"], node.attrs["groups"],
                                  precision=HI)
         values[node.name] = out
+        free_dead(pos)
     if glue:
         run_glue_segment([n for _, n in glue], glue[-1][0])
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import ops
 from .engine import run_ptq, run_ptq_mixed

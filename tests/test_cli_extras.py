@@ -245,3 +245,46 @@ def test_post_complex_cli_pipeline(workdir, monkeypatch):
         lines = [l for l in f.read().splitlines() if l.strip()]
     assert len(lines) > 0
     assert P.isfile(P.join(snap_ptq, "state_in_int8.pkl"))
+
+
+def test_calib_candidates_are_single_volumes_with_batched_loader():
+    """--lwq_select scores candidates individually, so candidate extraction
+    must flatten multi-volume loader batches (--test_batch_size > 1) into
+    single volumes — while the reference-parity --lwq_dataid/--lwq_batchsz
+    paths keep counting whole batches (ptqer.py:87-103)."""
+    from types import SimpleNamespace
+
+    from efficientq_tpu.cli.missions import (get_calibration_candidates,
+                                             get_calibration_data)
+
+    class FakeDataset:
+        def use_fix_transform(self):
+            pass
+
+    class FakeLoader:
+        dataset = FakeDataset()
+
+        def __iter__(self):
+            rng = np.random.RandomState(0)
+            for b in range(3):  # 3 batches x 2 volumes
+                yield (rng.randn(2, 1, 8, 8, 8).astype(np.float32),
+                       rng.randint(0, 3, (2, 8, 8, 8)))
+
+    hub = SimpleNamespace(trainseqloader=FakeLoader())
+    args = SimpleNamespace(lwq_dataid=0, lwq_patchsz="4,4,4",
+                           lwq_select=3, lwq_batchsz=1)
+    imgs, labels = get_calibration_candidates(args, hub)
+    assert len(imgs) == 3 and len(labels) == 3
+    assert all(im.shape == (1, 1, 4, 4, 4) for im in imgs)
+    # volumes must be DISTINCT (batch flattening, not repetition)
+    assert not np.allclose(imgs[0], imgs[1])
+
+    # reference-parity batch semantics: lwq_batchsz counts loader batches
+    img, label = get_calibration_data(args, hub)
+    assert img.shape[0] == 2  # one 2-volume batch
+
+    # descriptive error when the split runs out
+    args_long = SimpleNamespace(lwq_dataid=0, lwq_patchsz="4,4,4",
+                                lwq_select=99, lwq_batchsz=1)
+    with pytest.raises(ValueError, match="sequential volumes"):
+        get_calibration_candidates(args_long, hub)
