@@ -10,7 +10,7 @@ swing, larger than any granularity/scale-mode choice.
 result with the best quantized dice **on the labeled candidate (train)
 volumes themselves** — labels the user legitimately has; the validation
 split is never touched.  The proxy study (scripts/calib_select_probe.py →
-calib_select_probe.json) showed why this is the scoring rule: train-split
+experiments/calib_select_probe.json) showed why this is the scoring rule: train-split
 dice picked the best draw with zero regret, while calibration-set and
 cross-validated reconstruction error both ANTI-correlate with held-out
 dice at 2-bit (the good-basin draw had the *highest* held-out

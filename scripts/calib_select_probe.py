@@ -76,7 +76,7 @@ def main():
     ap.add_argument("--offsets", default="0,1,2,3")
     ap.add_argument("--granularity", default="layer")
     ap.add_argument("--channel_wise", action="store_true")
-    ap.add_argument("--out", default="calib_select_probe.json")
+    ap.add_argument("--out", default="experiments/calib_select_probe.json")
     args = ap.parse_args()
     offsets = [int(x) for x in args.offsets.split(",")]
     patch, overlap = (16, 16, 16), (4, 4, 4)

@@ -5,7 +5,7 @@ vs FP (the BASELINE.md acceptance metric: delta within 0.5 pts at W4A4-level
 settings).
 
 Run on TPU:  python scripts/quality_gate.py [--epochs N]
-Writes results to quality_gate_results.json.
+Writes results to experiments/quality_gate_results.json.
 """
 from __future__ import annotations
 
@@ -103,7 +103,7 @@ def main():
     ap.add_argument("--init_stride", type=str, default="2,2,2")
     ap.add_argument("--settings", type=str, default="256,16,4",
                     help="comma-separated qlvl list (256=W8A8,16=W4A4,4=W2A2)")
-    ap.add_argument("--out", type=str, default="quality_gate_results.json")
+    ap.add_argument("--out", type=str, default="experiments/quality_gate_results.json")
     args = ap.parse_args()
     if args.width:
         global WIDTHS

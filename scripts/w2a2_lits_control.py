@@ -19,7 +19,7 @@ mode, src/models/PTQConv.py:163-170).  If both lose the same dice, the
 collapse is a property of the problem instance, not of either
 implementation.
 
-Writes quality_gate_lits_control.json.  The reference leg is hours on CPU
+Writes experiments/quality_gate_lits_control.json.  The reference leg is hours on CPU
 (torch.linalg.solve of the 13826^2 system every ADMM iteration,
 src/models/solver.py:327-337); run in the background.
 """
@@ -317,7 +317,7 @@ def main():
         "ours_calib_seconds": t_ours, "reference_calib_seconds": t_ref,
     }
     path = P.join(P.dirname(P.dirname(P.abspath(__file__))),
-                  "quality_gate_lits_control.json")
+                  "experiments/quality_gate_lits_control.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
