@@ -495,6 +495,7 @@ def run_ptq_mixed(
     mixed_frac: float = 0.25,
     mixed_qlvl: int = 16,
     verbose: bool = False,
+    ranking=None,
     **kw,
 ):
     """Sensitivity-driven mixed-precision PTQ (ours — no reference
@@ -514,13 +515,20 @@ def run_ptq_mixed(
     same int8 codes and runs the same fused Pallas kernels — only the
     epilogue constants differ.  Returns ``(graph, qvars, report)`` with
     ``report.mixed_upgraded`` naming the lifted layers.
+
+    ``ranking``: a precomputed ``[(layer_name, rel_loss), ...]`` sensitivity
+    ranking — skips pass 1.  The ranking is a property of the trained
+    weights far more than of the calibration volume
+    (scripts/mixed_rank_probe.py), so callers calibrating on several
+    volumes (ptq/select.py) rank once and reuse.
     """
     if not 0.0 < mixed_frac <= 1.0:
         raise ValueError(f"mixed_frac must be in (0, 1], got {mixed_frac}")
-    _, _, rep1 = run_ptq(graph, variables, calib_x, task=task,
-                         init_stride=init_stride, hp=hp, verbose=verbose,
-                         **kw)
-    ranking = rep1.layer_rel_losses or rep1.layer_losses
+    if ranking is None:
+        _, _, rep1 = run_ptq(graph, variables, calib_x, task=task,
+                             init_stride=init_stride, hp=hp, verbose=verbose,
+                             **kw)
+        ranking = rep1.layer_rel_losses or rep1.layer_losses
     k = max(1, int(round(mixed_frac * len(ranking))))
     worst = [name for name, _ in
              sorted(ranking, key=lambda t: -t[1])[:k]]

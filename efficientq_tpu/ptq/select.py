@@ -64,13 +64,26 @@ def select_calibration(
 
     score_pairs = list(zip(candidate_imgs, candidate_labels))
     sn = [f"cand{i}" for i in range(len(candidate_imgs))]
+    ranking = None
+    if mixed_frac:
+        # the mixed-precision sensitivity ranking is a property of the
+        # trained weights far more than of the calibration volume (top-25%
+        # upgrade sets agree across draws — scripts/mixed_rank_probe.py),
+        # so rank ONCE on the first candidate and reuse: 1 + K calibration
+        # passes instead of 2K
+        _, _, rep1 = run_ptq(
+            graph, variables,
+            ops.ncdhw_to_ndhwc(jnp.asarray(candidate_imgs[0])),
+            verbose=verbose, **ptq_kw)
+        ranking = rep1.layer_rel_losses or rep1.layer_losses
     best, scores = None, []
     for i, img in enumerate(candidate_imgs):
         calib_x = ops.ncdhw_to_ndhwc(jnp.asarray(img))
         if mixed_frac:
             fg, fv, report = run_ptq_mixed(
                 graph, variables, calib_x, mixed_frac=mixed_frac,
-                mixed_qlvl=mixed_qlvl, verbose=verbose, **ptq_kw)
+                mixed_qlvl=mixed_qlvl, verbose=verbose, ranking=ranking,
+                **ptq_kw)
         else:
             fg, fv, report = run_ptq(graph, variables, calib_x,
                                      verbose=verbose, **ptq_kw)
