@@ -254,6 +254,7 @@ def ptq(args):
         from ..ptq.select import select_calibration
 
         cand_imgs, cand_labels = get_calibration_candidates(args, hub)
+        tune_pairs = list(zip(cand_imgs, cand_labels))
         fgraph, qvars, report, selection = select_calibration(
             graph, variables, cand_imgs, cand_labels,
             num_mo=n_mo, n_class=nClass,
@@ -273,6 +274,7 @@ def ptq(args):
               f"over {lwq_select} candidates)")
     else:
         img, _label = get_calibration_data(args, hub)
+        tune_pairs = [(img, _label)]
         calib_x = ops.ncdhw_to_ndhwc(jnp.asarray(img))
         if args.lwq_verbose:
             print("Calibration data shape:", img.shape)
@@ -298,16 +300,38 @@ def ptq(args):
 
     if getattr(args, "tune_act", 0):
         # joint alpha_act refinement on the calibration volume
-        # (tune_activation_range, src/ptqer.py:238-272 — unused there)
+        # (tune_activation_range, src/ptqer.py:238-272 — unused there),
+        # VALIDATED by quantized dice on the labeled calibration volume(s):
+        # at 2-bit the raw reconstruction objective overfits (more iters ->
+        # lower MSE, worse held-out dice, docs/quantization.md), so the
+        # best-scoring iterate is kept — iteration 0 included, making the
+        # flag safe at any precision
+        from ..eval.validate import validate_seg
         from ..ptq.tune import tune_activation_range
 
-        qvars, tune_losses = tune_activation_range(
+        t_sn = [f"calib{i}" for i in range(len(tune_pairs))]
+
+        def tune_score(v):
+            sm = validate_seg(fgraph, v, tune_pairs, t_sn, n_mo, nClass,
+                              patch_size=hub.slide_patch_size,
+                              overlap=hub.slide_overlap, mode="quantized",
+                              patch_batch=2,
+                              multilabel_fusetype=hub.multilabel_fusetype)
+            return float(sm[-1].get_metric()["dsc"])
+
+        qvars, tune_losses, tinfo = tune_activation_range(
             fgraph, qvars, calib_x, report.output_fp,
-            max_iter=args.tune_act)
+            max_iter=args.tune_act, score_fn=tune_score)
         print(f"tune_act: recon MSE {tune_losses[0]:.6g} -> "
-              f"{tune_losses[-1]:.6g} over {len(tune_losses)} iters")
+              f"{tune_losses[-1]:.6g} over {len(tune_losses)} iters; "
+              f"kept iter {tinfo['best_iter']} "
+              f"(calib-volume dice {tinfo['best_score']:.4f})")
         with open(P.join(snap_dir, "tune_act_loss.txt"), "w") as f:
             f.write("\n".join(f"{v:.8g}" for v in tune_losses))
+        with open(P.join(snap_dir, "tune_act_score.txt"), "w") as f:
+            for it, s in tinfo["scores"]:
+                mark = "  <- kept" if it == tinfo["best_iter"] else ""
+                f.write(f"iter {it}: dice {s:.6f}{mark}\n")
 
     print(f"FP forward costs {report.fp_forward_seconds:.3f}s, PTQ costs "
           f"{report.calibration_seconds:.3f}s.")

@@ -28,11 +28,23 @@ def tune_activation_range(
     output_fp: jax.Array,
     max_iter: int = 1000,
     lr: float = 5e-4,
-) -> Tuple[Dict, List[float]]:
-    """Returns (updated variables, loss history).
+    score_fn=None,
+    score_every: int = 50,
+) -> Tuple[Dict, List[float], Dict]:
+    """Returns (updated variables, loss history, info).
 
     ``variables`` should be post-PTQ (quantized kernels stored); the model
     is evaluated in 'quantized' mode so only alpha_act affects the output.
+
+    ``score_fn(variables) -> float`` (higher is better) enables validated
+    early stopping: the calibration matrix measured that at 2-bit the
+    reconstruction objective OVERFITS — more tuning iterations lower the
+    calibration MSE while held-out dice falls (docs/quantization.md).
+    Scored every ``score_every`` iterations (plus iteration 0 and the
+    last), the best-scoring alphas are returned instead of the last — so
+    tuning can never do worse than not tuning, by the score's judgment.
+    ``info`` carries ``scores`` [(iter, score), ...], ``best_iter`` and
+    ``best_score`` when scoring is on (empty dict otherwise).
     """
     params = {k: dict(v) for k, v in variables["params"].items()}
     state = variables.get("state", {})
@@ -59,11 +71,33 @@ def tune_activation_range(
         alphas = optax.apply_updates(alphas, updates)
         return alphas, opt_state, loss
 
+    def pack(a):
+        p2 = {k: dict(v) for k, v in params.items()}
+        for name, al in a.items():
+            p2[name]["alpha_act"] = al
+        return {"params": p2, "state": state}
+
+    info: Dict = {}
+    if score_fn is not None:
+        best_score = float(score_fn(pack(alphas)))
+        best_alphas, best_iter = dict(alphas), 0
+        info["scores"] = [(0, best_score)]
+
     losses = []
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         alphas, opt_state, loss = step(alphas, opt_state)
         losses.append(float(loss))
+        if score_fn is not None and (it % score_every == 0
+                                     or it == max_iter):
+            s = float(score_fn(pack(alphas)))
+            info["scores"].append((it, s))
+            if s > best_score:
+                best_score, best_alphas, best_iter = s, dict(alphas), it
+
+    if score_fn is not None:
+        alphas = best_alphas
+        info["best_iter"], info["best_score"] = best_iter, best_score
 
     for name, a in alphas.items():
         params[name]["alpha_act"] = a
-    return {"params": params, "state": state}, losses
+    return {"params": params, "state": state}, losses, info

@@ -76,6 +76,10 @@ def main():
                     help="per-output-channel bias correction after ADMM")
     ap.add_argument("--tune_act", type=int, default=0,
                     help="post-PTQ end-to-end alpha_act Adam iterations")
+    ap.add_argument("--tune_act_validated", action="store_true",
+                    help="score tune_act iterates by calib-volume dice and "
+                         "keep the best (the product mission's behavior); "
+                         "without it the raw last iterate is kept")
     ap.add_argument("--calib_subjects", type=int, default=1,
                     help="calibration volumes stacked into the batch "
                          "(reference --lwq_batchsz analogue)")
@@ -216,14 +220,39 @@ def main():
         if args.tune_act:
             from efficientq_tpu.ptq.tune import tune_activation_range
 
-            tv, losses = tune_activation_range(fg, fv, calib_x,
-                                               report.output_fp,
-                                               max_iter=args.tune_act)
+            score_fn = None
+            if args.tune_act_validated:
+                calib_label = None
+                if args.calib_select:
+                    calib_label = cand_labels[selection["picked"]]
+                    calib_img = cand_imgs[selection["picked"]]
+                else:
+                    # re-pull the calibration volume WITH its label
+                    seq2 = iter(hub.trainseqloader)
+                    for _ in range(args.calib_offset):
+                        next(seq2)
+                    calib_img, calib_label = next(seq2)
+
+                def score_fn(v):
+                    sm = validate_seg(fg, v, [(calib_img, calib_label)],
+                                      ["calib"], n_mo, 3, patch_size=patch,
+                                      overlap=(4, 4, 4), mode="quantized",
+                                      patch_batch=2)
+                    return float(sm[-1].get_metric()["dsc"])
+
+            tv, losses, tinfo = tune_activation_range(
+                fg, fv, calib_x, report.output_fp, max_iter=args.tune_act,
+                score_fn=score_fn)
             t_dice = mean_fg_dice(fg, tv, hub, n_mo, "quantized")
+            kept = (f", kept iter {tinfo['best_iter']}"
+                    if args.tune_act_validated else "")
             print(f"{tag}+tune_act: dice {t_dice:.4f} "
                   f"(delta {fp_dice - t_dice:+.4f}), "
-                  f"recon {losses[0]:.5f}->{losses[-1]:.5f}")
+                  f"recon {losses[0]:.5f}->{losses[-1]:.5f}{kept}")
             results["settings"][tag]["tuned_dice"] = t_dice
+            if args.tune_act_validated:
+                results["settings"][tag]["tune_kept_iter"] = tinfo["best_iter"]
+                results["settings"][tag]["tune_scores"] = tinfo["scores"]
 
     out = P.join(P.dirname(P.abspath(__file__)), "..", args.out)
     with open(out, "w") as f:

@@ -94,6 +94,11 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
     with open(P.join(snap_ptq, "tune_act_loss.txt")) as f:
         tune_losses = [float(v) for v in f.read().split()]
     assert len(tune_losses) == 3 and all(np.isfinite(tune_losses))
+    # validated early stopping: scores at iter 0 and the last iter, with
+    # exactly one kept iterate (iteration 0 counts — the overfit guard)
+    with open(P.join(snap_ptq, "tune_act_score.txt")) as f:
+        score_lines = f.read().splitlines()
+    assert len(score_lines) == 2 and sum("kept" in l for l in score_lines) == 1
 
     # mesh-parallel PTQ from the CLI: sharded Gram calibration + sharded
     # patch-grid eval over 2 of the 8 virtual devices

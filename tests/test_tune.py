@@ -33,11 +33,41 @@ def test_tune_activation_range_improves_reconstruction():
     x = jnp.asarray(np.abs(np.random.RandomState(0).randn(1, 8, 8, 8, 1))
                     .astype(np.float32))
     out_fp = nnir.apply(fgraph, fvars, x, mode="fp")
-    tuned, losses = tune_activation_range(fgraph, fvars, x, out_fp,
-                                          max_iter=60, lr=5e-2)
+    tuned, losses, info = tune_activation_range(fgraph, fvars, x, out_fp,
+                                                max_iter=60, lr=5e-2)
+    assert info == {}  # no scoring requested
     assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
     # alphas actually moved
     moved = any(
         abs(float(tuned["params"][n.name]["alpha_act"]) - 5.0) > 1e-3
         for n in fgraph.qconv_nodes() if n.attrs["qcfg"].q_act)
     assert moved
+
+    # validated early stopping: with a score that says tuning only HURTS,
+    # the returned alphas are exactly the untouched iteration-0 ones —
+    # the overfitting guard (the 2-bit calibration matrix measured recon
+    # MSE anti-correlating with held-out dice)
+    calls = []
+
+    def hostile_score(v):
+        calls.append(1)
+        return float(-len(calls))  # strictly decreasing: iter 0 wins
+
+    tuned0, losses0, info0 = tune_activation_range(
+        fgraph, fvars, x, out_fp, max_iter=25, lr=5e-2,
+        score_fn=hostile_score, score_every=10)
+    assert info0["best_iter"] == 0
+    assert [it for it, _ in info0["scores"]] == [0, 10, 20, 25]
+    for n in fgraph.qconv_nodes():
+        if n.attrs["qcfg"].q_act:
+            assert float(tuned0["params"][n.name]["alpha_act"]) == 5.0
+
+    # and with a score that rewards tuning, a later iterate is kept
+    def mse_score(v):
+        out = nnir.apply(fgraph, v, x, mode="quantized")
+        return -float(jnp.mean((out - out_fp) ** 2))
+
+    _, _, info1 = tune_activation_range(
+        fgraph, fvars, x, out_fp, max_iter=25, lr=5e-2,
+        score_fn=mse_score, score_every=10)
+    assert info1["best_iter"] > 0
