@@ -171,6 +171,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--deploy", default="none",
                         choices=("none", "int8", "mixed"),
                         help="infer-mission serving graph (ptq/deploy.py)")
+    # ours: portable serving artifacts (export.py) — the final-head patch
+    # forward with weights baked in, serialized as versioned StableHLO via
+    # jax.export.  The reference's deployment artifact is a weight file
+    # that needs the full model code + exact flags to serve
+    # (src/models/PTQConv.py:128-143); an artifact serves with neither.
+    parser.add_argument("--export_artifact", action="store_true",
+                        help="ptq/infer: also write serving_artifact.zip "
+                             "(jax.export StableHLO of the final-head "
+                             "patch forward, weights baked in)")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="infer: serve from a serving_artifact.zip — "
+                             "no --pretrain and no model flags needed")
     # TPU-native extension (not in the reference flag surface): checkpoint
     # backend — 'pickle' is the reference-parity default, 'orbax' writes
     # directory-based multi-host-safe checkpoints (utils/checkpoint.py)

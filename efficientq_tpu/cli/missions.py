@@ -43,9 +43,11 @@ def _make_dp_mesh(args, check_batch: bool = False):
 
 
 def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
-                mode="fp", mesh=None):
+                mode="fp", mesh=None, artifact=None):
     """validate_final + optional inference_final equivalent: per-split
-    metric files, then label-free true-test export (trainer.py:253-307)."""
+    metric files, then label-free true-test export (trainer.py:253-307).
+    With ``artifact`` the forward runs from the serialized serving module
+    (export.py) and graph/variables may be None."""
     os.makedirs(save_dir, exist_ok=True)
     is_cc = bool(getattr(args, "is_cc", False))
     for split, loader, sns in (("val", hub.valloader, hub.val_sn),
@@ -59,6 +61,7 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                           patch_batch=getattr(args, "patch_batch", 0)
                           or "auto",
                           save_dir=nii_dir, is_cc=is_cc, mesh=mesh,
+                          artifact=artifact,
                           sn_fn_dict=hub.sn_to_fn_map,
                           restore_shape_func=hub.restore_shape_func,
                           restore_infokw=hub.restore_infokw,
@@ -74,7 +77,7 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
         true_test_inference(graph, variables, hub,
                             P.join(save_dir, "true_test"), mode=mode,
                             patch_batch=getattr(args, "patch_batch", 0)
-                            or "auto",
+                            or "auto", artifact=artifact,
                             multilabel_fusetype=hub.multilabel_fusetype)
 
 
@@ -378,6 +381,8 @@ def ptq(args):
                     args, mode="quantized", mesh=mesh)
 
     _save_quantized(fgraph, qvars, snap_dir)
+    if getattr(args, "export_artifact", False):
+        _save_artifact(fgraph, qvars, hub, nMod, nClass, snap_dir, args)
     return snap_dir
 
 
@@ -395,13 +400,43 @@ def infer(args):
     Model/quant flags must match the ptq run that produced the export.
     ``--true_test``/``--save_nii``/``--is_cc``/``--dp_devices``/
     ``--patch_batch`` all apply.
+
+    ``--artifact serving_artifact.zip`` instead serves from a serialized
+    serving artifact (export.py): no --pretrain and no model/quant flags —
+    the artifact IS the computation.  ``--export_artifact`` writes such an
+    artifact of THIS run's serving graph (including any --deploy rewrite,
+    which bakes the fused Pallas kernels in and pins platforms=('tpu',)).
     """
     hub, data_info, nMod, nClass, patch_size = definer.get_data_cube(args)
+
+    if getattr(args, "artifact", None):
+        from ..export import load_serving_artifact
+
+        art = load_serving_artifact(args.artifact)
+        art.check_platform()
+        # spatial dims are static in the exported module (only batch may
+        # be symbolic): the serving patch size must match the export's
+        if tuple(ops.triple(hub.slide_patch_size)) != art.patch_size:
+            raise ValueError(
+                f"--patch_size {tuple(ops.triple(hub.slide_patch_size))} "
+                f"does not match the artifact's {art.patch_size}")
+        snap_dir = definer.make_snapshot_dir(args, "exp_infer", "artifact",
+                                             "ARTIFACT")
+        print(f"serving from artifact {args.artifact} "
+              f"(batch={art.batch}, platforms={list(art.exported.platforms)})")
+        if getattr(args, "dp_devices", 0):
+            raise ValueError("--artifact serving does not support "
+                             "--dp_devices (the module is pre-lowered)")
+        _final_test(None, None, hub, 1, nClass, P.join(snap_dir, "infer"),
+                    args, mode="quantized", artifact=art)
+        return snap_dir
+
     cfg, model_info, n_mo = definer.get_model_config(args)
     graph = build_uresq(cfg)
     variables = nnir.init(graph, jax.random.PRNGKey(0))
     if not args.pretrain:
-        raise ValueError("infer requires --pretrain (a PTQ export)")
+        raise ValueError("infer requires --pretrain (a PTQ export) or "
+                         "--artifact (a serving artifact)")
 
     qinfo = definer.qinfo_string(args)
     snap_dir = definer.make_snapshot_dir(args, "exp_infer", model_info,
@@ -431,11 +466,39 @@ def infer(args):
                      if node.attrs.get("int8"))
         print(f"deploy={deploy}: {n_int8} convs on the int8 path")
 
+    if getattr(args, "export_artifact", False):
+        _save_artifact(fgraph, fvars, hub, nMod, nClass, snap_dir, args)
+
     mesh = _make_dp_mesh(args)
     _final_test(fgraph, fvars, hub, n_mo, nClass,
                 P.join(snap_dir, "infer"), args, mode="quantized",
                 mesh=mesh)
     return snap_dir
+
+
+def _save_artifact(graph, variables, hub, n_mod, n_class, snap_dir, args):
+    """Serialize the final-head serving forward next to the weight exports
+    (export.py): manifest + jax.export StableHLO in one zip."""
+    from .. import export as export_mod
+
+    pb = getattr(args, "patch_batch", 0) or 0
+    exported, batch = export_mod.export_patch_model(
+        graph, variables, hub.slide_patch_size, n_mod,
+        mode="quantized", patch_batch=pb if pb > 0 else 4)
+    path = P.join(snap_dir, "serving_artifact.zip")
+    export_mod.save_serving_artifact(path, exported, {
+        "task": args.task,
+        "patch_size": list(ops.triple(hub.slide_patch_size)),
+        "overlap": list(ops.triple(hub.slide_overlap)),
+        "n_mod": int(n_mod),
+        "n_class": int(n_class),
+        "batch": batch,
+        "deploy": getattr(args, "deploy", "none"),
+        "multilabel_fusetype": hub.multilabel_fusetype,
+    })
+    print(f"serving artifact -> {path} (batch={batch}, "
+          f"platforms={list(exported.platforms)})")
+    return path
 
 
 def _dump_seg_niis(report, task, snap_dir):

@@ -41,6 +41,7 @@ def validate_seg(
     patch_batch="auto",
     precision=None,
     mesh=None,
+    artifact=None,
 ) -> List[SegMetricMC]:
     """Evaluate on a loader of (N, C, D, H, W) numpy batches.
 
@@ -50,7 +51,18 @@ def validate_seg(
     (parallel/mesh.py::shard_patch_inference).  ``patch_batch='auto'``
     measures the best patch chunking once per workload signature on TPU
     (eval/autotune.py) and uses 2 elsewhere.
+
+    ``artifact``: a loaded ``export.ServingArtifact`` — inference runs
+    from the serialized module instead of (graph, variables), which may
+    both be None then; the artifact emits the final head only, so pass
+    ``num_mo=1``.
     """
+    if artifact is not None:
+        if mesh is not None:
+            raise ValueError("artifact serving does not support --dp_devices")
+        if num_mo != 1:
+            raise ValueError("serving artifacts emit the final head only; "
+                             "pass num_mo=1")
     sm = [SegMetricMC(n_class, sn_list, is_cc=is_cc) for _ in range(num_mo)]
     multilabel = None  # set from the first batch's label rank
 
@@ -98,7 +110,11 @@ def validate_seg(
             # -> argmax path (same rank rule as evaluate_append)
             multilabel = np.asarray(masks).ndim == 5
         if infer is None:
-            if mesh is not None:
+            if artifact is not None:
+                infer = artifact.volume_inferencer(
+                    patch_batch=patch_batch, hard_pred=True,
+                    multilabel=multilabel)
+            elif mesh is not None:
                 from ..parallel.mesh import make_sharded_volume_inferencer
 
                 infer = make_sharded_volume_inferencer(
@@ -150,8 +166,10 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
               overlap, sn_fn_dict=None, suffix="_seg", mode="fp",
               restore_shape_func=None, restore_infokw=None,
               merge_label_func=None, multilabel_fusetype=None,
-              patch_batch="auto"):
-    """Label-free inference + NIfTI export (validate.py:266-303)."""
+              patch_batch="auto", artifact=None):
+    """Label-free inference + NIfTI export (validate.py:266-303).  With
+    ``artifact`` (export.ServingArtifact) the forward runs from the
+    serialized module; graph/variables may be None."""
     if not save_dir:
         print("No save directory specified for final true test inference!")
         return
@@ -180,18 +198,23 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
     for images, _ in iter(loader):
         x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
         if infer is None:
-            pb = patch_batch
-            if pb == "auto":
-                from .autotune import choose_patch_batch
+            if artifact is not None:
+                infer = artifact.volume_inferencer(patch_batch=patch_batch,
+                                                   hard_pred=True,
+                                                   multilabel=multilabel)
+            else:
+                pb = patch_batch
+                if pb == "auto":
+                    from .autotune import choose_patch_batch
 
-                pb = choose_patch_batch(graph, variables, x, patch_size,
-                                        overlap, mode=mode,
-                                        heads=final_head)
-            infer = make_jitted_volume_inferencer(graph, patch_batch=pb,
-                                                  mode=mode,
-                                                  heads=final_head,
-                                                  hard_pred=True,
-                                                  multilabel=multilabel)
+                    pb = choose_patch_batch(graph, variables, x, patch_size,
+                                            overlap, mode=mode,
+                                            heads=final_head)
+                infer = make_jitted_volume_inferencer(graph, patch_batch=pb,
+                                                      mode=mode,
+                                                      heads=final_head,
+                                                      hard_pred=True,
+                                                      multilabel=multilabel)
         preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
                           tuple(ops.triple(overlap)))
         if pending is not None:
@@ -202,7 +225,8 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
 
 
 def true_test_inference(graph, variables, data, save_dir, mode="fp",
-                        patch_batch="auto", multilabel_fusetype=None):
+                        patch_batch="auto", multilabel_fusetype=None,
+                        artifact=None):
     """Label-free export of the true-test split — the reference's
     ``inference_final`` (trainer.py:253-270,307; suffix '' as trainer.test
     passes it).  Shared by the mission driver and the Tester."""
@@ -218,7 +242,7 @@ def true_test_inference(graph, variables, data, save_dir, mode="fp",
               restore_shape_func=data.restore_shape_func,
               restore_infokw=data.restore_infokw,
               merge_label_func=data.merge_label_func,
-              multilabel_fusetype=multilabel_fusetype)
+              multilabel_fusetype=multilabel_fusetype, artifact=artifact)
 
 
 def restore_crop(crop, pmin, pmax, shape):

@@ -1,0 +1,174 @@
+"""Portable serving artifacts: the deployed patch forward serialized as
+StableHLO via ``jax.export``.
+
+The reference's deployment artifact is a weight file
+(``store_int_weight``, src/models/PTQConv.py:128-143): serving it needs
+the full model code plus the exact CLI flags that built the net, and the
+reference can only re-check a quantized net by re-running the PTQ
+pipeline (src/ptqer.py:282-387).  Here the artifact IS the computation —
+the post-deployment patch-forward function with every weight baked in as
+a constant, serialized with JAX's versioned-stability export format.  A
+consumer deserializes and calls it with zero model-construction code, on
+any platform the artifact was exported for (XLA-path graphs export
+multi-platform ``('cpu', 'tpu')`` from either host; graphs carrying
+fused Pallas kernels are TPU-only custom calls).
+
+Artifact = one zip file:
+    manifest.json       serving metadata (patch size, classes, batch mode,
+                        platforms, deploy mode, stitch defaults)
+    module.jaxexport    ``jax.export.Exported.serialize()`` bytes
+
+Calling convention of the exported function:
+    (B, pd, ph, pw, nMod) float32  ->  (1, B, pd, ph, pw, C_out) float32
+final-head logits only (aux deep-supervision heads are sliced off before
+export so XLA dead-code-eliminates them — same mechanism as
+eval/sliding.py ``heads``).  B is a symbolic dimension when the graph
+lowers with one (plain XLA graphs do); otherwise it is pinned to the
+export-time ``patch_batch`` and ``ServingArtifact.patch_model_fn`` zero-
+pads ragged final chunks and drops the padded rows.
+"""
+from __future__ import annotations
+
+import json
+import zipfile
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import nnir, ops
+
+FORMAT = "efficientq-serving/1"
+MODULE_NAME = "module.jaxexport"
+MANIFEST_NAME = "manifest.json"
+
+
+def export_patch_model(graph, variables, patch_size, n_mod: int, *,
+                       mode: str = "quantized", patch_batch: int = 4,
+                       platforms=None):
+    """Export the final-head patch forward with weights baked in.
+
+    Returns ``(exported, batch)`` where ``batch`` is the string
+    ``"symbolic"`` or the pinned int batch size.  ``platforms`` defaults
+    to ``('tpu',)`` when the graph carries Pallas nodes (their Mosaic
+    custom calls only target TPU) and ``('cpu', 'tpu')`` otherwise —
+    cross-platform lowering needs no device of the target kind.
+    """
+    from jax import export as jexport
+
+    patch_size = tuple(ops.triple(patch_size))
+
+    def patch_fn(xb):
+        # final head only: slicing before export lets XLA DCE the aux
+        # classifiers out of the serialized module (eval/sliding.py heads)
+        return nnir.apply(graph, variables, xb, mode=mode)[-1:]
+
+    if platforms is None:
+        has_pallas = any(n.attrs.get("pallas") for n in graph.nodes)
+        platforms = ("tpu",) if has_pallas else ("cpu", "tpu")
+    jitted = jax.jit(patch_fn)
+    try:
+        b, = jexport.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, *patch_size, n_mod), jnp.float32)
+        return jexport.export(jitted, platforms=tuple(platforms))(spec), \
+            "symbolic"
+    except Exception:
+        # symbolic batch does not lower through every op (the Pallas
+        # kernels and some resize paths need static shapes): pin it
+        spec = jax.ShapeDtypeStruct((patch_batch, *patch_size, n_mod),
+                                    jnp.float32)
+        return jexport.export(jitted, platforms=tuple(platforms))(spec), \
+            int(patch_batch)
+
+
+def save_serving_artifact(path: str, exported, manifest: dict) -> None:
+    manifest = dict(manifest)
+    manifest["format"] = FORMAT
+    manifest["platforms"] = list(exported.platforms)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(MANIFEST_NAME, json.dumps(manifest, indent=1))
+        z.writestr(MODULE_NAME, bytes(exported.serialize()))
+
+
+class ServingArtifact:
+    """A loaded serving artifact: ``.manifest`` + the callable module."""
+
+    def __init__(self, exported, manifest: dict):
+        self.exported = exported
+        self.manifest = manifest
+
+    @property
+    def batch(self):
+        return self.manifest["batch"]  # "symbolic" | int
+
+    @property
+    def patch_size(self):
+        return tuple(self.manifest["patch_size"])
+
+    def check_platform(self) -> None:
+        backend = jax.default_backend()
+        if backend not in self.exported.platforms:
+            raise RuntimeError(
+                f"artifact was exported for {self.exported.platforms}, "
+                f"current backend is {backend!r}")
+
+    def patch_model_fn(self):
+        """A ``model_fn`` for eval/sliding.py sliding_window_inference:
+        (B, pd, ph, pw, nMod) -> (1, B, pd, ph, pw, C_out).  Static-batch
+        artifacts zero-pad ragged chunks and drop the padded outputs."""
+        call = self.exported.call
+        if self.batch == "symbolic":
+            return call
+        B = int(self.batch)
+
+        def fn(xb):
+            n = xb.shape[0]
+            if n > B:
+                raise ValueError(f"chunk of {n} patches > artifact batch {B}")
+            if n < B:
+                xb = jnp.pad(xb, [(0, B - n)] + [(0, 0)] * (xb.ndim - 1))
+            return call(xb)[:, :n]
+
+        return fn
+
+    def volume_inferencer(self, patch_batch: Optional[int] = None,
+                          hard_pred: bool = True, multilabel: bool = False):
+        """Jitted whole-volume sliding-window inference from the artifact —
+        the no-model-code analogue of sliding.make_jitted_volume_inferencer
+        (same hard-pred semantics; the artifact already emits only the
+        final head).  Takes ``(variables, image, patch_size, overlap)``
+        with ``variables`` ignored, so eval/validate.py drives it
+        unchanged."""
+        from .eval.sliding import sliding_window_inference
+
+        model_fn = self.patch_model_fn()
+        if patch_batch is None or patch_batch == "auto" or patch_batch <= 0:
+            patch_batch = self.batch if self.batch != "symbolic" else 4
+
+        @partial(jax.jit, static_argnames=("patch_size", "overlap"))
+        def infer(variables, image, patch_size, overlap):
+            del variables
+            out = sliding_window_inference(model_fn, image, patch_size,
+                                           overlap, int(patch_batch),
+                                           normalize=not hard_pred)
+            if hard_pred:
+                if multilabel:
+                    out = (out >= 0).astype(jnp.uint8)
+                else:
+                    out = jnp.argmax(out, axis=-1).astype(jnp.uint8)
+            return out
+
+        return infer
+
+
+def load_serving_artifact(path: str) -> ServingArtifact:
+    from jax import export as jexport
+
+    with zipfile.ZipFile(path) as z:
+        manifest = json.loads(z.read(MANIFEST_NAME))
+        if manifest.get("format") != FORMAT:
+            raise ValueError(f"not a serving artifact (format="
+                             f"{manifest.get('format')!r}, want {FORMAT!r})")
+        exported = jexport.deserialize(z.read(MODULE_NAME))
+    return ServingArtifact(exported, manifest)

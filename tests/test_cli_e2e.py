@@ -68,7 +68,8 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
         "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
         "--q_first", "256,-1", "--q_last", "256,-1",
         "--lwq_patchsz", "16,16,16", "--lwq_iter", "10",
-        "--tune_act", "3", "--is_cc", "--true_test", *TINY_MODEL,
+        "--tune_act", "3", "--is_cc", "--true_test", "--export_artifact",
+        *TINY_MODEL,
     ])
     # reference artifact set (ptqer.py:366-387)
     for fname in ("time_cost.txt", "layer_loss.txt", "class_voxel_nums.txt",
@@ -176,6 +177,23 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
     got = dsc_vals(P.join(snap_fp, "infer", "val_seg.txt"))
     assert got, "no dsc entries parsed"
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # serving artifact: the ptq run serialized its final-head forward
+    # (--export_artifact); serving from it needs NO model/quant flags and
+    # must reproduce the ptq run's final-head val dice — same math, just
+    # through the deserialized StableHLO module.  --true_test exercises
+    # the artifact path of the label-free exporter too.
+    art_path = P.join(snap_ptq, "serving_artifact.zip")
+    assert P.isfile(art_path)
+    snap_art = main([
+        "infer", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--patch_size", "8,8,8",
+        "--access_type", "npy", "--artifact", art_path,
+        "--true_test", "--suffix", "art"])
+    got_art = dsc_vals(P.join(snap_art, "infer", "val_seg.txt"))
+    assert got_art, "no dsc entries parsed"
+    np.testing.assert_allclose(got_art, want, atol=1e-6)
+    assert glob.glob(P.join(snap_art, "infer", "true_test", "*.nii.gz"))
 
     # packed-int8 npz + the int8 deployment rewrite: the pack/unpack
     # float roundtrip (atol 1e-5 on kernels) can flip near-tie voxels on
