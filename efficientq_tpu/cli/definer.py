@@ -92,6 +92,20 @@ def get_data_cube(args):
         nClass -= 1
     if args.patch_size:
         patch_size = parse_triple(args.patch_size)
+    if getattr(args, "overlap", None):
+        overlap = parse_triple(args.overlap)
+        if any(o >= p for o, p in zip(overlap, patch_size)):
+            raise ValueError(f"sliding-window --overlap {overlap} must be "
+                             f"smaller than the patch size {patch_size} "
+                             "per axis")
+    elif any(o >= p for o, p in zip(overlap, patch_size)):
+        # the preset overlap (16, hardcoded per task in the reference,
+        # definer.py:33,44) cannot stride a smaller --patch_size: clamp so
+        # the eval grid covers the whole volume instead of degenerating to
+        # the terminal patch per axis
+        overlap = tuple(min(o, p // 2) for o, p in zip(overlap, patch_size))
+        print(f"note: sliding-window overlap clamped to {overlap} for "
+              f"patch {patch_size} (pass --overlap to control)")
 
     scale_bound = None
     if getattr(args, "da_scaling", None):

@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--split_dir")
     parser.add_argument("--round", default="1", type=str)
     parser.add_argument("--patch_size")
+    # ours: the reference hardcodes the sliding-window overlap per task
+    # (definer.py:33,44 — always 16); with --patch_size overridable, the
+    # overlap must be too, or small patches hit a zero/negative stride
+    parser.add_argument("--overlap", default=None,
+                        help="sliding-window overlap override (d,h,w); "
+                             "default is the task preset's 16,16,16")
     parser.add_argument("--batch_size", default=1, type=int)
     parser.add_argument("--test_batch_size", default=1, type=int)
     parser.add_argument("--crop_type", default="random")

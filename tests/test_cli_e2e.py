@@ -197,14 +197,16 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
 
     # packed-int8 npz + the int8 deployment rewrite: the pack/unpack
     # float roundtrip (atol 1e-5 on kernels) can flip near-tie voxels on
-    # this chance-level 3-epoch toy, so the dice check is loose; the
-    # deploy rewrite's bit-exactness has its own test (test_int8_deploy)
+    # this chance-level 3-epoch toy — and the full-coverage eval grid
+    # (27 stitched patches since the overlap clamp) sums many such
+    # near-ties per voxel — so the dice check is loose; the deploy
+    # rewrite's bit-exactness has its own test (test_int8_deploy)
     snap_inf = main(INFER_ARGS + [
         "--pretrain", P.join(snap_ptq, "state_in_int8_compress.npz"),
         "--deploy", "int8", "--suffix", "inf"])
     got8 = dsc_vals(P.join(snap_inf, "infer", "val_seg.txt"))
     assert got8 and all(np.isfinite(got8))
-    np.testing.assert_allclose(got8, want, atol=0.05)
+    np.testing.assert_allclose(got8, want, atol=0.15)
 
     # mixed-precision export roundtrip: the per-layer grids ship in the
     # export (__qlvl_overrides__) and infer rebuilds them — reloading on

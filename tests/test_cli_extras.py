@@ -288,3 +288,28 @@ def test_calib_candidates_are_single_volumes_with_batched_loader():
                                 lwq_select=99, lwq_batchsz=1)
     with pytest.raises(ValueError, match="sequential volumes"):
         get_calibration_candidates(args_long, hub)
+
+
+def test_overlap_flag_validation_and_clamp(workdir, monkeypatch, capsys):
+    """--overlap: an explicit overlap >= patch is a real error; without the
+    flag, the task preset's hardcoded 16 is clamped so a small --patch_size
+    still gets a full-coverage eval grid (definer.get_data_cube)."""
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+    base = [
+        "train_fp", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--patch_size", "8,8,8",
+        "--access_type", "npy", "--batch_size", "2", "--crop_type", "random",
+        "--loss", "hybrid", "--lr", "0.01", "--max_epoch", "1",
+        "--test_interval", "1", "--disp_interval", "1", *TINY,
+    ]
+    with pytest.raises(ValueError, match="--overlap"):
+        main(base + ["--overlap", "8,8,8"])
+
+    main(base + ["--overlap", "2,2,2", "--suffix", "ov"])
+    out = capsys.readouterr().out
+    assert "overlap clamped" not in out
+
+    main(base + ["--suffix", "ovclamp"])
+    out = capsys.readouterr().out
+    assert "overlap clamped to (4, 4, 4)" in out
