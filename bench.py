@@ -197,6 +197,45 @@ def main():
     mixed_sync_vps = time_sync(infer_mixed)
     mixed_async_vps = time_async(infer_mixed)
 
+    # serving-artifact overhead probe (export.py): the SAME final-head
+    # forward, once as a live jitted graph and once deserialized from the
+    # jax.export StableHLO artifact — the artifact claim is that
+    # serialization costs nothing at serve time.  Guarded: a failure here
+    # must not cost the headline measurement.
+    artifact_async_vps = live_jit_async_vps = None
+    try:
+        import tempfile
+
+        from efficientq_tpu import export as export_mod
+        from efficientq_tpu.eval.sliding import make_jitted_volume_inferencer
+
+        live = make_jitted_volume_inferencer(
+            fgraph, patch_batch=n_patches, mode="quantized",
+            heads=slice(-1, None), hard_pred=True, multilabel=True)
+        exported, _batch = export_mod.export_patch_model(
+            fgraph, fvars, patch, 4, mode="quantized",
+            patch_batch=n_patches)
+        with tempfile.NamedTemporaryFile(suffix=".zip") as tf:
+            export_mod.save_serving_artifact(tf.name, exported, {
+                "batch": _batch, "patch_size": list(patch),
+                "overlap": list(overlap), "n_class": 3})
+            art = export_mod.load_serving_artifact(tf.name)
+        art_infer = art.volume_inferencer(patch_batch=n_patches,
+                                          hard_pred=True, multilabel=True)
+
+        def time_async_fn(fn, *a):
+            fn(*a)  # compile + warmup
+            t0 = time.perf_counter()
+            outs = [fn(*a) for _ in range(iters)]
+            jax.block_until_ready(outs)
+            return iters / (time.perf_counter() - t0)
+
+        live_jit_async_vps = time_async_fn(live, fvars, vj, patch, overlap)
+        artifact_async_vps = time_async_fn(art_infer, None, vj, patch,
+                                           overlap)
+    except Exception as e:  # pragma: no cover - hardware-path guard
+        print(f"# artifact probe skipped: {e!r}", file=sys.stderr)
+
     # headline stays pinned to the best *synchronous* serving variant, and
     # we record WHICH variant produced it so cross-round BENCH numbers stay
     # comparable (advisor r2)
@@ -275,6 +314,9 @@ def main():
             "int8_pallas_async": round(int8_async_vps, 4),
             "mixed_int8_3x3_sync": round(mixed_sync_vps, 4),
             "mixed_int8_3x3_async": round(mixed_async_vps, 4),
+            **({"artifact_async": round(artifact_async_vps, 4),
+                "live_jit_async": round(live_jit_async_vps, 4)}
+               if artifact_async_vps else {}),
         },
     }))
 
