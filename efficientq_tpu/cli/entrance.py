@@ -197,6 +197,10 @@ def build_parser() -> argparse.ArgumentParser:
     # data parallelism over a 1-D device mesh: 0 = off (single device),
     # -1 = all local devices, N = first N devices. Batch must divide evenly.
     parser.add_argument("--dp_devices", type=int, default=0)
+    # with --dp_devices: ZeRO/FSDP-style sharding of parameters + optimizer
+    # state over the data mesh (parallel/mesh.py::fsdp_shardings) — GSPMD
+    # derives the all-gather-on-use / reduce-scatter schedule
+    parser.add_argument("--fsdp", action="store_true")
     return parser
 
 

@@ -111,6 +111,8 @@ def train_fp(args):
     except Exception:
         pass
     mesh = _make_dp_mesh(args, check_batch=True)
+    if getattr(args, "fsdp", False) and mesh is None:
+        raise ValueError("--fsdp requires --dp_devices")
 
     trainer = Trainer(
         graph, variables, hub, loss_name=args.loss, num_mo=n_mo, mesh=mesh,
@@ -119,7 +121,8 @@ def train_fp(args):
         warmup_epochs=warmup_epochs, test_interval=test_interval,
         display_interval=args.disp_interval,
         multilabel_fusetype=args.merge_type, tb_writer=tb_writer,
-        ckpt_backend=getattr(args, "ckpt_backend", "pickle"))
+        ckpt_backend=getattr(args, "ckpt_backend", "pickle"),
+        fsdp=getattr(args, "fsdp", False))
     if args.resume:
         trainer.resume(args.resume)
     elif args.pretrain:

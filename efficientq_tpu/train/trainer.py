@@ -37,7 +37,8 @@ class Trainer:
                  warmup_epochs: int = 1, test_interval: int = 50,
                  display_interval: int = 10, multilabel_fusetype=None,
                  seed: int = 0, mesh=None, check_nan: bool = True,
-                 tb_writer=None, ckpt_backend: str = "pickle"):
+                 tb_writer=None, ckpt_backend: str = "pickle",
+                 fsdp: bool = False):
         self.graph = graph
         self.variables = variables
         self.data = data_cube
@@ -66,8 +67,19 @@ class Trainer:
         self.start_epoch = 1
         self.max_seg_metric_val = 0.0
         self.mesh = mesh
+        if fsdp and mesh is None:
+            raise ValueError("fsdp requires a device mesh (--dp_devices)")
+        self.fsdp = bool(fsdp)
         self.tb_writer = tb_writer
         self._train_step = self._build_train_step()
+        if self.fsdp:
+            # place the training state sharded from step 0 (otherwise the
+            # first step holds a replicated copy of params + both Adam
+            # moments per device before the constraint kicks in)
+            self.variables = dict(self.variables)
+            self.variables["params"] = jax.device_put(
+                self.variables["params"], self._fsdp_psh)
+            self.opt_state = jax.device_put(self.opt_state, self._fsdp_osh)
         # model/scheme dump (trainer.py:75-76 description.txt)
         with open(P.join(snapshot_root, "description.txt"), "w") as f:
             f.write(f"loss={loss_name} lr={base_lr} epochs={max_epoch} "
@@ -92,21 +104,37 @@ class Trainer:
             total, arr = multi_output_loss(loss_fn, head_w, out_ncdhw, y)
             return total, (new_state, arr)
 
+        fsdp = self.fsdp
         if mesh is not None:
-            from ..parallel.mesh import batch_sharding, replicated
+            from ..parallel.mesh import (batch_sharding, fsdp_shardings,
+                                         replicated)
 
             xsh = batch_sharding(mesh)
             rsh = replicated(mesh)
+            if fsdp:
+                psh = fsdp_shardings(mesh, self.variables["params"])
+                osh = fsdp_shardings(mesh, self.opt_state)
+                self._fsdp_psh, self._fsdp_osh = psh, osh
 
         @jax.jit
         def step(params, state, opt_state, x, y, rng, step_idx):
             if mesh is not None:
                 # data parallelism: batch axis over the mesh, params
-                # replicated; XLA derives the gradient all-reduce over ICI
+                # replicated; XLA derives the gradient all-reduce over ICI.
+                # Under fsdp the params + optimizer state are instead
+                # sharded over the same axis (parallel/mesh.py::
+                # fsdp_shardings) and GSPMD derives the ZeRO schedule:
+                # all-gather-on-use forward, reduce-scattered gradients,
+                # sharded Adam update.
                 x = jax.lax.with_sharding_constraint(x, xsh)
                 y = jax.lax.with_sharding_constraint(y, xsh)
-                params = jax.lax.with_sharding_constraint(
-                    params, jax.tree.map(lambda _: rsh, params))
+                if fsdp:
+                    params = jax.lax.with_sharding_constraint(params, psh)
+                    opt_state = jax.lax.with_sharding_constraint(
+                        opt_state, osh)
+                else:
+                    params = jax.lax.with_sharding_constraint(
+                        params, jax.tree.map(lambda _: rsh, params))
             # layout transpose + per-step RNG derivation fused into the
             # compiled program: the host loop issues no per-step device ops
             # beyond the step call itself
@@ -116,6 +144,11 @@ class Trainer:
                 loss_and_state, has_aux=True)(params, state, x, y, sub)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
+            if mesh is not None and fsdp:
+                # pin the carried-state layout so the step's fixed point is
+                # sharded (not whatever layout the partitioner last chose)
+                params = jax.lax.with_sharding_constraint(params, psh)
+                opt_state = jax.lax.with_sharding_constraint(opt_state, osh)
             merged_state = {**state, **new_state}
             return params, merged_state, opt_state, loss, arr
 

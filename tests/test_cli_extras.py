@@ -167,9 +167,11 @@ def test_orbax_ckpt_backend_resume(workdir, monkeypatch):
     assert 3 in epochs and min(epochs) == 1
 
 
-def test_dp_devices_cli_training(workdir, monkeypatch):
+@pytest.mark.parametrize("fsdp", [False, True])
+def test_dp_devices_cli_training(workdir, monkeypatch, fsdp):
     """--dp_devices -1 trains data-parallel over the (simulated) 8-device
-    mesh through the real CLI."""
+    mesh through the real CLI; --fsdp additionally shards the params +
+    optimizer state over the same mesh (parallel/mesh.py::fsdp_shardings)."""
     import jax
 
     if len(jax.devices()) < 2:
@@ -181,7 +183,8 @@ def test_dp_devices_cli_training(workdir, monkeypatch):
         "--split_dir", split_dir, "--round", "1", "--patch_size", "8,8,8",
         "--batch_size", "8", "--crop_type", "random", "--loss", "ce",
         "--lr", "0.01", "--max_epoch", "1", "--test_interval", "99",
-        "--disp_interval", "1", "--no_test", "--dp_devices", "-1", *TINY,
+        "--disp_interval", "1", "--no_test", "--dp_devices", "-1",
+        *(["--fsdp", "--suffix", "fsdp"] if fsdp else []), *TINY,
     ])
     assert P.isfile(P.join(snap, "loss.txt"))
     with open(P.join(snap, "loss.txt")) as f:

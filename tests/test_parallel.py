@@ -104,6 +104,80 @@ def test_trainer_with_mesh(tmp_path):
     assert last < first
 
 
+def test_fsdp_trainer_matches_replicated_dp(tmp_path):
+    """--fsdp: params + optimizer state sharded over the data mesh.  The
+    jitted step computes the same math as the replicated-dp step (GSPMD
+    derives the all-gather / reduce-scatter schedule), so two steps from
+    the same init must match; the carried state must actually live sharded
+    (ZeRO memory saving), both at init and after a step."""
+    from jax.sharding import PartitionSpec as P
+
+    from efficientq_tpu.data.datahub import DataHub
+    from efficientq_tpu.data.synthetic import (make_synthetic_dataset,
+                                               task_modalities)
+    from efficientq_tpu.train import Trainer
+
+    data_dir, split_dir = make_synthetic_dataset(
+        str(tmp_path), task="lits", n_subjects=8, vol_shape=(16, 16, 16))
+    hub = DataHub(data_dir, task_modalities("lits"),
+                  train_split=f"{split_dir}/round1/train.txt",
+                  train_batchsize=8, test_batchsize=1, access_type="npy",
+                  crop_type="random", crop_size_img=(8, 8, 8),
+                  slide_patch_size=(8, 8, 8), slide_overlap=(2, 2, 2))
+    cfg, graph, variables = tiny()
+    mesh = make_mesh()
+    kw = dict(loss_name="ce", num_mo=len(graph.outputs), n_class=3,
+              base_lr=0.01, max_epoch=4, mesh=mesh)
+    tr_rep = Trainer(graph, variables, hub,
+                     snapshot_root=str(tmp_path / "rep"), **kw)
+    tr_fs = Trainer(graph, variables, hub, fsdp=True,
+                    snapshot_root=str(tmp_path / "fs"), **kw)
+
+    # sharded placement from step 0: divisible leaves carry the data axis
+    def data_sharded(tree):
+        # plain (non-device_put) arrays carry SingleDeviceSharding: no .spec
+        return [k for k, v in jax.tree_util.tree_leaves_with_path(tree)
+                if "data" in str(getattr(v.sharding, "spec", ""))]
+
+    assert data_sharded(tr_fs.variables["params"]), "no sharded param leaf"
+    assert data_sharded(tr_fs.opt_state), "no sharded optimizer-state leaf"
+    assert not data_sharded(tr_rep.variables["params"])
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 1, 8, 8, 8).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 3, (8, 8, 8, 8)))
+    for i in range(2):
+        out_r = tr_rep._train_step(tr_rep.variables["params"],
+                                   tr_rep.variables["state"],
+                                   tr_rep.opt_state, x, y, tr_rep.rng, i)
+        tr_rep.variables = {"params": out_r[0], "state": out_r[1]}
+        tr_rep.opt_state = out_r[2]
+        out_f = tr_fs._train_step(tr_fs.variables["params"],
+                                  tr_fs.variables["state"],
+                                  tr_fs.opt_state, x, y, tr_fs.rng, i)
+        tr_fs.variables = {"params": out_f[0], "state": out_f[1]}
+        tr_fs.opt_state = out_f[2]
+    np.testing.assert_allclose(float(out_r[3]), float(out_f[3]),
+                               rtol=1e-5, atol=1e-6)
+    for (kr, pr), (kf, pf) in zip(
+            jax.tree_util.tree_leaves_with_path(tr_rep.variables["params"]),
+            jax.tree_util.tree_leaves_with_path(tr_fs.variables["params"])):
+        assert kr == kf
+        np.testing.assert_allclose(np.asarray(pr), np.asarray(pf),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(kr))
+    # the step's fixed point stays sharded
+    assert data_sharded(tr_fs.variables["params"])
+    assert data_sharded(tr_fs.opt_state)
+
+    # the sharding helper's specs: conv kernels shard O, vectors their axis
+    from efficientq_tpu.parallel import fsdp_shardings
+
+    sh = fsdp_shardings(mesh, tr_rep.variables["params"])
+    # at least one 5-D kernel sharded on its O axis
+    specs = [v.spec for v in jax.tree_util.tree_leaves(sh)]
+    assert any(s == P(None, None, None, None, "data") for s in specs)
+
+
 def test_sharded_gram_stats_matches_single_device():
     """Mesh-sharded Gram accumulation (psum over the depth-slab axis) equals
     the single-chip compute_gram_stats, incl. a ragged last slab."""
