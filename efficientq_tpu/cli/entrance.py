@@ -201,6 +201,10 @@ def build_parser() -> argparse.ArgumentParser:
     # state over the data mesh (parallel/mesh.py::fsdp_shardings) — GSPMD
     # derives the all-gather-on-use / reduce-scatter schedule
     parser.add_argument("--fsdp", action="store_true")
+    # train_fp: rematerialization — run the forward in N-node jax.checkpoint
+    # segments so the backward recomputes segment interiors instead of
+    # keeping every activation (nnir.apply remat=); 0 = off
+    parser.add_argument("--remat", type=int, default=0)
     return parser
 
 

@@ -374,6 +374,107 @@ def eval_node(node: Node, params: Dict[str, Any], state: Dict[str, Any],
     raise ValueError(f"unknown op {node.op}")
 
 
+def _eval_train_node(node: Node, i: int, params, st, ins, *, train, rng,
+                     mode, precision, compute_dtype):
+    """One node under either engine (plain ``apply`` or the remat one):
+    returns (output, bn-state update or None).  ``i`` is the node's global
+    topo index — the dropout RNG folds it in, so segment boundaries cannot
+    change the per-node random streams."""
+    if train and node.op == "bn":
+        p = params[node.name]
+        s = st[node.name]
+        out, m, v = ops.batch_norm_train(
+            ins[0], p["scale"], p["bias"], s["mean"], s["var"],
+            node.attrs["momentum"], node.attrs["eps"])
+        return out, {"mean": m, "var": v}
+    if train and node.op == "dropout" and node.attrs["rate"] > 0:
+        assert rng is not None, "dropout needs rng in train mode"
+        return ops.dropout3d(ins[0], node.attrs["rate"],
+                             jax.random.fold_in(rng, i)), None
+    return eval_node(node, params, st, ins, mode=mode, precision=precision,
+                     compute_dtype=compute_dtype), None
+
+
+def _apply_remat(graph: Graph, variables, x, *, train, rng, mode, precision,
+                 compute_dtype, remat: int):
+    """Segmented interpretation for ``apply(..., remat=N)``.
+
+    The topo-ordered node list is chunked into consecutive N-node segments;
+    each runs inside ``jax.checkpoint``, taking only its boundary values
+    (plus its own params/state slices) and returning only the values later
+    segments or the heads consume.  Under ``jax.grad`` XLA keeps just those
+    boundaries and re-runs a segment's forward during its backward."""
+    params = variables["params"]
+    st = variables.get("state", {})
+
+    indexed = [(i, n) for i, n in enumerate(graph.nodes) if n.op != "input"]
+    segments = [indexed[k:k + remat] for k in range(0, len(indexed), remat)]
+
+    # producer -> segment index (graph input = -1)
+    seg_of = {graph.input_name: -1}
+    for si, seg in enumerate(segments):
+        for _, n in seg:
+            seg_of[n.name] = si
+    # per-segment boundary sets, in deterministic (first-use) order
+    seg_in: List[List[str]] = [[] for _ in segments]
+    seg_out: List[List[str]] = [[] for _ in segments]
+    for si, seg in enumerate(segments):
+        for _, n in seg:
+            for src in n.inputs:
+                if seg_of[src] < si and src not in seg_in[si]:
+                    seg_in[si].append(src)
+                    if seg_of[src] >= 0 and src not in seg_out[seg_of[src]]:
+                        seg_out[seg_of[src]].append(src)
+    for o in graph.outputs:
+        if o not in seg_out[seg_of[o]]:
+            seg_out[seg_of[o]].append(o)
+
+    def make_seg(si):
+        seg, in_names, out_names = segments[si], seg_in[si], seg_out[si]
+        p_sub = {n.name: params[n.name] for _, n in seg if n.name in params}
+        s_sub = {n.name: st[n.name] for _, n in seg if n.name in st}
+
+        def seg_fn(p_sub, s_sub, boundary, rng):
+            vals = dict(zip(in_names, boundary))
+            new_state = {}
+            for i, node in seg:
+                ins = [vals[n] for n in node.inputs]
+                out, ns = _eval_train_node(
+                    node, i, p_sub, s_sub, ins, train=train, rng=rng,
+                    mode=mode, precision=precision,
+                    compute_dtype=compute_dtype)
+                if ns is not None:
+                    new_state[node.name] = ns
+                vals[node.name] = out
+            return tuple(vals[n] for n in out_names), new_state
+
+        return jax.checkpoint(seg_fn), p_sub, s_sub, in_names, out_names
+
+    env = {graph.input_name: x}
+    new_state_all: Dict[str, Any] = {}
+    for si in range(len(segments)):
+        fn, p_sub, s_sub, in_names, out_names = make_seg(si)
+        outs, ns = fn(p_sub, s_sub, tuple(env[n] for n in in_names), rng)
+        env.update(zip(out_names, outs))
+        new_state_all.update(ns)
+        # drop values no later segment (nor the heads) will read, so the
+        # outer trace doesn't keep them alive past their last use
+        needed = set(graph.outputs)
+        for sj in range(si + 1, len(segments)):
+            needed.update(seg_in[sj])
+        for k in list(env):
+            if k not in needed:
+                del env[k]
+
+    outs = [env[n] for n in graph.outputs]
+    if compute_dtype is not None:
+        outs = [o.astype(jnp.float32) for o in outs]
+    out = jnp.stack(outs, axis=0)
+    if train:
+        return out, new_state_all
+    return out
+
+
 def apply(
     graph: Graph,
     variables: Dict[str, Any],
@@ -385,6 +486,7 @@ def apply(
     precision=None,
     compute_dtype=None,
     capture: Optional[Sequence[str]] = None,
+    remat: int = 0,
 ):
     """Interpret the graph on input ``x`` (NDHWC).
 
@@ -394,8 +496,21 @@ def apply(
     Returns stacked head outputs of shape (num_heads, N, D, H, W, C).
     With ``train=True`` returns (out, new_state); with ``capture`` (a list of
     node names) returns (out, {name: node_output}).
+
+    remat > 0 executes the graph in consecutive ``remat``-node segments,
+    each under ``jax.checkpoint``: the backward pass recomputes a segment's
+    interior activations from its boundary values instead of keeping every
+    intermediate alive — O(boundaries) training memory for one extra
+    forward of FLOPs (the standard TPU HBM/FLOPs trade; the reference has
+    no analogue — torch keeps the full autograd tape).  Numerics are
+    IDENTICAL to remat=0 (same ops, same per-node RNG streams); ignored
+    under ``capture`` (the PTQ sweep holds activations on purpose).
     """
     assert mode in ("fp", "quantized", "fq")
+    if remat and capture is None:
+        return _apply_remat(graph, variables, x, train=train, rng=rng,
+                            mode=mode, precision=precision,
+                            compute_dtype=compute_dtype, remat=int(remat))
     params = variables["params"]
     st = variables.get("state", {})
     new_state: Dict[str, Any] = {}
@@ -406,19 +521,11 @@ def apply(
         if node.op == "input":
             continue
         ins = [values[n] for n in node.inputs]
-        if train and node.op == "bn":
-            p = params[node.name]
-            s = st[node.name]
-            out, m, v = ops.batch_norm_train(
-                ins[0], p["scale"], p["bias"], s["mean"], s["var"],
-                node.attrs["momentum"], node.attrs["eps"])
-            new_state[node.name] = {"mean": m, "var": v}
-        elif train and node.op == "dropout" and node.attrs["rate"] > 0:
-            assert rng is not None, "dropout needs rng in train mode"
-            out = ops.dropout3d(ins[0], node.attrs["rate"], jax.random.fold_in(rng, i))
-        else:
-            out = eval_node(node, params, st, ins, mode=mode,
-                            precision=precision, compute_dtype=compute_dtype)
+        out, ns = _eval_train_node(node, i, params, st, ins, train=train,
+                                   rng=rng, mode=mode, precision=precision,
+                                   compute_dtype=compute_dtype)
+        if ns is not None:
+            new_state[node.name] = ns
         values[node.name] = out
         if capture and node.name in capture:
             # outputs only: the PTQ sweep recomputes each layer's input from

@@ -38,7 +38,7 @@ class Trainer:
                  display_interval: int = 10, multilabel_fusetype=None,
                  seed: int = 0, mesh=None, check_nan: bool = True,
                  tb_writer=None, ckpt_backend: str = "pickle",
-                 fsdp: bool = False):
+                 fsdp: bool = False, remat: int = 0):
         self.graph = graph
         self.variables = variables
         self.data = data_cube
@@ -70,6 +70,7 @@ class Trainer:
         if fsdp and mesh is None:
             raise ValueError("fsdp requires a device mesh (--dp_devices)")
         self.fsdp = bool(fsdp)
+        self.remat = int(remat)
         self.tb_writer = tb_writer
         self._train_step = self._build_train_step()
         if self.fsdp:
@@ -95,10 +96,12 @@ class Trainer:
         optimizer = self.optimizer
         mesh = self.mesh
 
+        remat = self.remat
+
         def loss_and_state(params, state, x, y, rng):
             out, new_state = nnir.apply(
                 graph, {"params": params, "state": state}, x, train=True,
-                rng=rng)
+                rng=rng, remat=remat)
             # heads stacked (M, N, D, H, W, C) -> reference layout (M,N,C,...)
             out_ncdhw = jnp.moveaxis(out, -1, 2)
             total, arr = multi_output_loss(loss_fn, head_w, out_ncdhw, y)
