@@ -224,7 +224,10 @@ def main():
                                           hard_pred=True, multilabel=True)
 
         def time_async_fn(fn, *a):
-            fn(*a)  # compile + warmup
+            # block on the warmup: its device execution must not bleed
+            # into the timed window (compile cost differs live vs
+            # artifact, so the bleed would skew the comparison unevenly)
+            jax.block_until_ready(fn(*a))
             t0 = time.perf_counter()
             outs = [fn(*a) for _ in range(iters)]
             jax.block_until_ready(outs)

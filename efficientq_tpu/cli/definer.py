@@ -103,7 +103,10 @@ def get_data_cube(args):
         # definer.py:33,44) cannot stride a smaller --patch_size: clamp so
         # the eval grid covers the whole volume instead of degenerating to
         # the terminal patch per axis
-        overlap = tuple(min(o, p // 2) for o, p in zip(overlap, patch_size))
+        # clamp ONLY the violating axes — a valid axis keeps its preset
+        # stitch geometry (and its dice) untouched
+        overlap = tuple(o if o < p else p // 2
+                        for o, p in zip(overlap, patch_size))
         print(f"note: sliding-window overlap clamped to {overlap} for "
               f"patch {patch_size} (pass --overlap to control)")
 

@@ -316,13 +316,30 @@ def ptq(args):
         from ..ptq.tune import tune_activation_range
 
         t_sn = [f"calib{i}" for i in range(len(tune_pairs))]
+        # score geometry clamped to the calibration crop: the crop
+        # (--lwq_patchsz / the 192-cap rule) can be smaller than the
+        # task's sliding patch, and grid_starts rejects patch > volume
+        vol_shape = np.asarray(tune_pairs[0][0]).shape[2:5]
+        score_ps = tuple(min(p, v) for p, v in zip(
+            ops.triple(hub.slide_patch_size), vol_shape))
+        score_ov = tuple(o if o < p else p // 2 for o, p in zip(
+            ops.triple(hub.slide_overlap), score_ps))
+        # one inferencer across all score calls — validate_seg would
+        # otherwise rebuild (and retrace) the patch/forward/stitch
+        # program every score_every iterations
+        from ..eval.sliding import make_jitted_volume_inferencer
+
+        score_infer = make_jitted_volume_inferencer(
+            fgraph, patch_batch=2, mode="quantized", hard_pred=True,
+            multilabel=np.asarray(tune_pairs[0][1]).ndim == 5)
 
         def tune_score(v):
             sm = validate_seg(fgraph, v, tune_pairs, t_sn, n_mo, nClass,
-                              patch_size=hub.slide_patch_size,
-                              overlap=hub.slide_overlap, mode="quantized",
+                              patch_size=score_ps,
+                              overlap=score_ov, mode="quantized",
                               patch_batch=2,
-                              multilabel_fusetype=hub.multilabel_fusetype)
+                              multilabel_fusetype=hub.multilabel_fusetype,
+                              infer=score_infer)
             return float(sm[-1].get_metric()["dsc"])
 
         qvars, tune_losses, tinfo = tune_activation_range(
@@ -423,6 +440,17 @@ def infer(args):
             raise ValueError(
                 f"--patch_size {tuple(ops.triple(hub.slide_patch_size))} "
                 f"does not match the artifact's {art.patch_size}")
+        # the manifest knows what it serves: a task/modality/class mismatch
+        # would otherwise surface as an opaque StableHLO shape error (or,
+        # worse, silently score against the wrong task's labels)
+        for key, got in (("task", args.task), ("n_mod", int(nMod)),
+                         ("n_class", int(nClass))):
+            want = art.manifest.get(key)
+            if want is not None and want != got:
+                raise ValueError(
+                    f"artifact was exported for {key}={want!r}; this run "
+                    f"is {key}={got!r} — serve it with the matching task "
+                    f"flags")
         snap_dir = definer.make_snapshot_dir(args, "exp_infer", "artifact",
                                              "ARTIFACT")
         print(f"serving from artifact {args.artifact} "

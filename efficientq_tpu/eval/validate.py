@@ -42,6 +42,7 @@ def validate_seg(
     precision=None,
     mesh=None,
     artifact=None,
+    infer=None,
 ) -> List[SegMetricMC]:
     """Evaluate on a loader of (N, C, D, H, W) numpy batches.
 
@@ -56,6 +57,13 @@ def validate_seg(
     from the serialized module instead of (graph, variables), which may
     both be None then; the artifact emits the final head only, so pass
     ``num_mo=1``.
+
+    ``infer``: a prebuilt inferencer
+    (``make_jitted_volume_inferencer(..., hard_pred=True, multilabel=...)``
+    or the mesh maker's result).  Callers that score repeatedly on the
+    same volumes (tune_act validated scoring, the quality gate) pass one
+    so its jit cache persists across validate_seg calls instead of
+    retracing the patch/forward/stitch program every call.
     """
     if artifact is not None:
         if mesh is not None:
@@ -66,11 +74,11 @@ def validate_seg(
     sm = [SegMetricMC(n_class, sn_list, is_cc=is_cc) for _ in range(num_mo)]
     multilabel = None  # set from the first batch's label rank
 
-    # inferencer built on the first volume: the auto-tuner needs an example
-    # volume, and the hard-pred rule (sign test vs argmax) needs the label
-    # rank — both single-device and mesh makers compile once per signature
-    # and return uint8 hard predictions straight from the device
-    infer = None
+    # inferencer built on the first volume unless the caller passed one:
+    # the auto-tuner needs an example volume, and the hard-pred rule (sign
+    # test vs argmax) needs the label rank — both single-device and mesh
+    # makers compile once per signature and return uint8 hard predictions
+    # straight from the device
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
     sn_counter = -1

@@ -73,9 +73,13 @@ def export_patch_model(graph, variables, patch_size, n_mod: int, *,
         spec = jax.ShapeDtypeStruct((b, *patch_size, n_mod), jnp.float32)
         return jexport.export(jitted, platforms=tuple(platforms))(spec), \
             "symbolic"
-    except Exception:
+    except Exception as e:
         # symbolic batch does not lower through every op (the Pallas
-        # kernels and some resize paths need static shapes): pin it
+        # kernels and some resize paths need static shapes): pin it.
+        # Say WHY — a transient failure (OOM, version regression) must not
+        # silently degrade every future serve to the pinned batch
+        print(f"export: symbolic batch unavailable ({type(e).__name__}: "
+              f"{e}); pinning batch={patch_batch}")
         spec = jax.ShapeDtypeStruct((patch_batch, *patch_size, n_mod),
                                     jnp.float32)
         return jexport.export(jitted, platforms=tuple(platforms))(spec), \

@@ -507,6 +507,9 @@ def apply(
     under ``capture`` (the PTQ sweep holds activations on purpose).
     """
     assert mode in ("fp", "quantized", "fq")
+    if remat < 0:
+        raise ValueError(f"remat must be >= 0 (nodes per checkpoint "
+                         f"segment), got {remat}")
     if remat and capture is None:
         return _apply_remat(graph, variables, x, train=train, rng=rng,
                             mode=mode, precision=precision,

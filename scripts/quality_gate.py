@@ -222,22 +222,32 @@ def main():
 
             score_fn = None
             if args.tune_act_validated:
-                calib_label = None
                 if args.calib_select:
-                    calib_label = cand_labels[selection["picked"]]
-                    calib_img = cand_imgs[selection["picked"]]
+                    # score on ALL selection candidates — exactly what the
+                    # ptq mission does (cli/missions.py tune_pairs), so the
+                    # gate validates the shipped early-stopping criterion
+                    tune_pairs = list(zip(cand_imgs, cand_labels))
                 else:
                     # re-pull the calibration volume WITH its label
                     seq2 = iter(hub.trainseqloader)
                     for _ in range(args.calib_offset):
                         next(seq2)
                     calib_img, calib_label = next(seq2)
+                    tune_pairs = [(calib_img, calib_label)]
+                t_sn = [f"calib{i}" for i in range(len(tune_pairs))]
+                # one inferencer across score calls (see missions.py)
+                from efficientq_tpu.eval.sliding import \
+                    make_jitted_volume_inferencer
+
+                score_infer = make_jitted_volume_inferencer(
+                    fg, patch_batch=2, mode="quantized", hard_pred=True,
+                    multilabel=np.asarray(tune_pairs[0][1]).ndim == 5)
 
                 def score_fn(v):
-                    sm = validate_seg(fg, v, [(calib_img, calib_label)],
-                                      ["calib"], n_mo, 3, patch_size=patch,
+                    sm = validate_seg(fg, v, tune_pairs, t_sn, n_mo, 3,
+                                      patch_size=patch,
                                       overlap=(4, 4, 4), mode="quantized",
-                                      patch_batch=2)
+                                      patch_batch=2, infer=score_infer)
                     return float(sm[-1].get_metric()["dsc"])
 
             tv, losses, tinfo = tune_activation_range(

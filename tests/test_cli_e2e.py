@@ -67,7 +67,10 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
         "--patch_size", "8,8,8", "--access_type", "npy",
         "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
         "--q_first", "256,-1", "--q_last", "256,-1",
-        "--lwq_patchsz", "16,16,16", "--lwq_iter", "10",
+        "--lwq_patchsz", "6,6,6", "--lwq_iter", "10",
+        # lwq_patchsz 6 < slide patch 8: tune_act's validated scoring must
+        # clamp its sliding geometry to the calibration crop (regression:
+        # grid_starts used to reject patch > volume mid-mission)
         "--tune_act", "3", "--is_cc", "--true_test", "--export_artifact",
         *TINY_MODEL,
     ])

@@ -35,6 +35,13 @@ def test_remat_inference_exact(n):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
+def test_remat_negative_rejected():
+    graph, variables = small(drop=0.0)
+    x = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+    with pytest.raises(ValueError, match="remat"):
+        nnir.apply(graph, variables, x, remat=-2)
+
+
 def test_remat_train_bitwise_state_and_dropout():
     """train=True: BN-state updates and the dropout masks (global node
     index folded into the rng) must not depend on segment boundaries."""
