@@ -14,7 +14,7 @@ import numpy as np
 from .. import nnir, ops
 from ..data.transforms import center_crop
 from ..eval.validate import validate_seg
-from ..models import build_uresq, torch_io
+from ..models import build_uresq, torch_io, validate_spatial_shape
 from ..ptq import run_ptq
 from ..quant import pack_int_weight
 from ..train import Trainer
@@ -85,6 +85,7 @@ def train_fp(args):
     """FP training mission (train_seg.py:27-203)."""
     hub, data_info, nMod, nClass, patch_size = definer.get_data_cube(args)
     cfg, model_info, n_mo = definer.get_model_config(args)
+    validate_spatial_shape(patch_size, cfg, "--patch_size")
     graph = build_uresq(cfg)
     variables = nnir.init(graph, jax.random.PRNGKey(0))
 
@@ -216,6 +217,14 @@ def ptq(args):
     cfg, model_info, n_mo = definer.get_model_config(args)
     graph = build_uresq(cfg)
     variables = nnir.init(graph, jax.random.PRNGKey(0))
+
+    validate_spatial_shape(patch_size, cfg, "--patch_size")
+    if args.lwq_patchsz:
+        # an explicit calibration crop must also flow through the net (the
+        # auto rule rounds to multiples of 64, always compatible)
+        validate_spatial_shape(
+            [int(x) for x in args.lwq_patchsz.split(",")], cfg,
+            "--lwq_patchsz")
 
     qinfo = definer.qinfo_string(args)
     snap_dir = definer.make_snapshot_dir(args, "exp_ptq", model_info, qinfo)

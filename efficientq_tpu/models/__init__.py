@@ -1,2 +1,3 @@
-from .uresq import UResQConfig, build_uresq, num_mo, preset_config  # noqa: F401
+from .uresq import (UResQConfig, build_uresq, min_input_divisor,  # noqa: F401
+                    num_mo, preset_config, validate_spatial_shape)
 from . import torch_io  # noqa: F401

@@ -85,6 +85,40 @@ class UResQConfig:
         return QCfg(q_weight=qw > 0, qlvl_w=qw, q_act=qa > 0, qlvl_act=qa)
 
 
+def min_input_divisor(cfg: UResQConfig) -> Tuple[int, int, int]:
+    """Smallest per-axis divisor a spatial input shape must satisfy.
+
+    The init conv divides each axis by init_stride and every encoder stage
+    pools by 2 (anisotropic stages by aniso_pool_stride); an input that
+    reaches a pool with an odd extent floors there, so the decoder's
+    upsample re-doubles to a SMALLER extent and the skip-fusion add
+    mismatches (the torch reference fails the same way inside SumFusion).
+    """
+    n_updown = len(cfg.depth_config) // 2
+    div = list(ops.triple(cfg.init_stride))
+    for i in range(n_updown):
+        k = ops.triple(cfg.stride if i < cfg.aniso_pool_depth
+                       else cfg.aniso_pool_stride)
+        for ax in range(3):
+            div[ax] *= k[ax]
+    return tuple(div)
+
+
+def validate_spatial_shape(shape, cfg: UResQConfig, what: str) -> None:
+    """Raise a clear ValueError when ``shape`` (D, H, W) cannot flow through
+    the network's encoder/decoder without a skip-shape mismatch."""
+    div = min_input_divisor(cfg)
+    shape = tuple(int(s) for s in shape)
+    bad = [ax for ax in range(3) if shape[ax] % div[ax]]
+    if bad:
+        axes = "".join("DHW"[ax] for ax in bad)
+        raise ValueError(
+            f"{what} {shape} is incompatible with the network: axes {axes} "
+            f"must be multiples of {div} (init_stride x one pool-2 per "
+            f"encoder stage), or the decoder's upsampled planes cannot "
+            f"match their skip connections")
+
+
 def _block(g: GraphBuilder, prefix: str, x: str, in_ch: int, out_ch: int,
            cfg: UResQConfig, kernel: int, stride, padding, dilation,
            drop_rate: float, qcfg) -> str:

@@ -67,10 +67,11 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
         "--patch_size", "8,8,8", "--access_type", "npy",
         "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
         "--q_first", "256,-1", "--q_last", "256,-1",
-        "--lwq_patchsz", "6,6,6", "--lwq_iter", "10",
-        # lwq_patchsz 6 < slide patch 8: tune_act's validated scoring must
+        "--lwq_patchsz", "4,4,4", "--lwq_iter", "10",
+        # lwq_patchsz 4 < slide patch 8: tune_act's validated scoring must
         # clamp its sliding geometry to the calibration crop (regression:
-        # grid_starts used to reject patch > volume mid-mission)
+        # grid_starts used to reject patch > volume mid-mission).  4 is the
+        # smallest crop this net accepts (min_input_divisor = (4, 4, 2))
         "--tune_act", "3", "--is_cc", "--true_test", "--export_artifact",
         *TINY_MODEL,
     ])
@@ -236,3 +237,26 @@ def test_train_then_ptq_cli(workdir, monkeypatch):
     got_8 = dsc_vals(P.join(mx_8, "infer", "val_seg.txt"))
     assert got_fp and all(np.isfinite(got_fp))
     np.testing.assert_allclose(got_8, got_fp, atol=0.05)
+
+
+def test_incompatible_spatial_shapes_rejected(workdir, monkeypatch):
+    """Shapes that cannot flow through the encoder/decoder (odd extent at a
+    pool -> skip-add mismatch) fail fast with a named-flag ValueError
+    instead of a broadcast TypeError mid-mission.  The tiny model's
+    min_input_divisor is (4, 4, 2): init_stride (2,2,1) x one pool-2."""
+    from efficientq_tpu.models import UResQConfig, min_input_divisor
+
+    cfg = UResQConfig(num_mod=1, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[4, 8, 4], dilation_config=[1, 1, 1],
+                      init_stride=(2, 2, 1))
+    assert min_input_divisor(cfg) == (4, 4, 2)
+
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+    base = ["--task", "lits", "--data_dir", data_dir, "--split_dir",
+            split_dir, "--round", "1", "--access_type", "npy", *TINY_MODEL]
+    with pytest.raises(ValueError, match="--patch_size.*multiples"):
+        main(["train_fp", *base, "--patch_size", "6,6,6", "--max_epoch", "1"])
+    with pytest.raises(ValueError, match="--lwq_patchsz.*multiples"):
+        main(["ptq", *base, "--patch_size", "8,8,8", "--qconv", "effq",
+              "--pretrain", "unused.pkl", "--lwq_patchsz", "6,6,6"])
