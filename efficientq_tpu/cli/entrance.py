@@ -205,6 +205,10 @@ def build_parser() -> argparse.ArgumentParser:
     # segments so the backward recomputes segment interiors instead of
     # keeping every activation (nnir.apply remat=); 0 = off
     parser.add_argument("--remat", type=int, default=0)
+    # train_fp: mixed-precision training — forward/backward activations at
+    # bf16 (MXU-native, no loss scaling needed), f32 master params / grads /
+    # BN stats / Adam state; composes with --remat and --fsdp
+    parser.add_argument("--amp", action="store_true")
     return parser
 
 

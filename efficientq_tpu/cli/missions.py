@@ -123,7 +123,8 @@ def train_fp(args):
         display_interval=args.disp_interval,
         multilabel_fusetype=args.merge_type, tb_writer=tb_writer,
         ckpt_backend=getattr(args, "ckpt_backend", "pickle"),
-        fsdp=getattr(args, "fsdp", False), remat=getattr(args, "remat", 0))
+        fsdp=getattr(args, "fsdp", False), remat=getattr(args, "remat", 0),
+        amp=getattr(args, "amp", False))
     if args.resume:
         trainer.resume(args.resume)
     elif args.pretrain:

@@ -380,12 +380,40 @@ def _eval_train_node(node: Node, i: int, params, st, ins, *, train, rng,
     returns (output, bn-state update or None).  ``i`` is the node's global
     topo index — the dropout RNG folds it in, so segment boundaries cannot
     change the per-node random streams."""
+    if train and node.op == "conv" and compute_dtype is not None:
+        # mixed-precision training path: plain low-precision conv (the MXU
+        # accumulates bf16 operands in f32 internally and rounds once — the
+        # same value as the serving branch's preferred_element_type=f32 +
+        # astype, but differentiable: the serving form's transpose would
+        # pair an f32 cotangent with a bf16 kernel, which
+        # lax.conv_general_dilated rejects).  Train mode is always 'fp'
+        # (quantization is post-training), so qcfg/int8 branches don't
+        # apply here.
+        p = params[node.name]
+        a = node.attrs
+        x = ins[0].astype(compute_dtype)
+        k = p["kernel"].astype(compute_dtype)
+        y = ops.conv3d(x, k, None, a["stride"], a["padding"], a["dilation"],
+                       a["groups"], precision=precision)
+        if "bias" in p:
+            y = y + p["bias"].astype(compute_dtype)
+        return y, None
     if train and node.op == "bn":
         p = params[node.name]
         s = st[node.name]
+        x = ins[0]
+        if compute_dtype is not None:
+            # mixed-precision training: batch statistics and the running-
+            # stat EMA accumulate in f32 (a bf16 mean over 128^3 voxels
+            # loses ~3 decimal digits and the running estimates drift);
+            # the normalized output is re-emitted at compute_dtype so the
+            # activation write stays half-width.
+            x = x.astype(jnp.float32)
         out, m, v = ops.batch_norm_train(
-            ins[0], p["scale"], p["bias"], s["mean"], s["var"],
+            x, p["scale"], p["bias"], s["mean"], s["var"],
             node.attrs["momentum"], node.attrs["eps"])
+        if compute_dtype is not None:
+            out = out.astype(compute_dtype)
         return out, {"mean": m, "var": v}
     if train and node.op == "dropout" and node.attrs["rate"] > 0:
         assert rng is not None, "dropout needs rng in train mode"

@@ -50,14 +50,17 @@ def replicate(mesh: Mesh, tree):
 
 
 def data_parallel_train_step(graph, optimizer, loss_fn, head_w, mesh,
-                             axis_name: str = "data", fsdp: bool = False):
+                             axis_name: str = "data", fsdp: bool = False,
+                             amp: bool = False):
     """Build a jitted data-parallel train step.
 
     The step body is identical to the single-chip one (train/trainer.py);
     sharding constraints on (x, y) put the batch across the mesh and XLA
     derives the psum for gradients.  With ``fsdp=True`` the parameters and
     optimizer state are constrained to :func:`fsdp_shardings` instead of
-    replicated — same math, ZeRO memory/collective schedule.
+    replicated — same math, ZeRO memory/collective schedule.  ``amp=True``
+    runs the forward/backward activations at bf16 (f32 master state), same
+    contract as Trainer(amp=True).
     """
     import jax.numpy as jnp
 
@@ -66,10 +69,12 @@ def data_parallel_train_step(graph, optimizer, loss_fn, head_w, mesh,
 
     xsh = batch_sharding(mesh, axis_name)
     rsh = replicated(mesh)
+    compute_dtype = jnp.bfloat16 if amp else None
 
     def loss_and_state(params, state, x, y, rng):
         out, new_state = nnir.apply(graph, {"params": params, "state": state},
-                                    x, train=True, rng=rng)
+                                    x, train=True, rng=rng,
+                                    compute_dtype=compute_dtype)
         out_ncdhw = jnp.moveaxis(out, -1, 2)
         total, arr = multi_output_loss(loss_fn, head_w, out_ncdhw, y)
         return total, (new_state, arr)

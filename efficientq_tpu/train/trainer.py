@@ -17,6 +17,7 @@ import os
 import os.path as P
 import pickle
 import time
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -38,9 +39,16 @@ class Trainer:
                  display_interval: int = 10, multilabel_fusetype=None,
                  seed: int = 0, mesh=None, check_nan: bool = True,
                  tb_writer=None, ckpt_backend: str = "pickle",
-                 fsdp: bool = False, remat: int = 0):
+                 fsdp: bool = False, remat: int = 0, amp: bool = False):
         self.graph = graph
-        self.variables = variables
+        # the train step donates its carried state buffers; own a private
+        # copy so the caller's tree (often shared with a second Trainer or
+        # kept for a reference comparison) survives the first step's
+        # donation instead of raising "Array has been deleted"
+        self.variables = {
+            "params": jax.tree.map(jnp.array, variables["params"]),
+            "state": jax.tree.map(jnp.array, variables.get("state", {})),
+        }
         self.data = data_cube
         self.num_mo = num_mo
         self.n_class = n_class
@@ -71,6 +79,7 @@ class Trainer:
             raise ValueError("fsdp requires a device mesh (--dp_devices)")
         self.fsdp = bool(fsdp)
         self.remat = int(remat)
+        self.amp = bool(amp)
         self.tb_writer = tb_writer
         self._train_step = self._build_train_step()
         if self.fsdp:
@@ -97,11 +106,18 @@ class Trainer:
         mesh = self.mesh
 
         remat = self.remat
+        # mixed-precision training (--amp): per-node bf16 casts inside the
+        # graph interpreter — activations are computed/written at bf16
+        # (MXU-native; bf16 keeps f32's exponent range so no loss scaling),
+        # while the master params, grads (accumulated through the astype
+        # transpose), BN statistics, loss, and Adam state all stay f32.
+        # Composes with --remat and --fsdp.  The reference trains f32-only.
+        compute_dtype = jnp.bfloat16 if self.amp else None
 
         def loss_and_state(params, state, x, y, rng):
             out, new_state = nnir.apply(
                 graph, {"params": params, "state": state}, x, train=True,
-                rng=rng, remat=remat)
+                rng=rng, remat=remat, compute_dtype=compute_dtype)
             # heads stacked (M, N, D, H, W, C) -> reference layout (M,N,C,...)
             out_ncdhw = jnp.moveaxis(out, -1, 2)
             total, arr = multi_output_loss(loss_fn, head_w, out_ncdhw, y)
@@ -119,7 +135,11 @@ class Trainer:
                 osh = fsdp_shardings(mesh, self.opt_state)
                 self._fsdp_psh, self._fsdp_osh = psh, osh
 
-        @jax.jit
+        # donate the carried training state: params + BN state + both Adam
+        # moments are pure read-modify-write per step, so XLA updates them
+        # in place instead of holding input and output copies live (x/y are
+        # NOT donated — device_feed double-buffers them)
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, state, opt_state, x, y, rng, step_idx):
             if mesh is not None:
                 # data parallelism: batch axis over the mesh, params

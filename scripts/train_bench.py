@@ -122,15 +122,27 @@ def main():
         tr.train_epoch()
         pipe_s = (time.perf_counter() - t0) / n_steps
 
+        # --- mixed precision (--amp): same pipelined loop, bf16 compute
+        tr_amp = Trainer(graph, variables, hub, loss_name="bhybrid",
+                         num_mo=len(graph.outputs), n_class=3, base_lr=1e-3,
+                         max_epoch=1, snapshot_root=snap, amp=True)
+        tr_amp.train_epoch()  # compile
+        t0 = time.perf_counter()
+        tr_amp.train_epoch()
+        amp_s = (time.perf_counter() - t0) / n_steps
+
     batch = 2
     print(json.dumps({
         "metric": "brats_fp_train_step_throughput",
         "unit": "patches/sec",
         "sync_ms_per_step": round(sync_s * 1e3, 2),
         "pipelined_ms_per_step": round(pipe_s * 1e3, 2),
+        "amp_ms_per_step": round(amp_s * 1e3, 2),
         "sync_patches_per_sec": round(batch / sync_s, 2),
         "pipelined_patches_per_sec": round(batch / pipe_s, 2),
+        "amp_patches_per_sec": round(batch / amp_s, 2),
         "speedup": round(sync_s / pipe_s, 3),
+        "amp_speedup_vs_pipelined": round(pipe_s / amp_s, 3),
     }))
 
 
