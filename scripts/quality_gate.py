@@ -108,6 +108,10 @@ def main():
     ap.add_argument("--settings", type=str, default="256,16,4",
                     help="comma-separated qlvl list (256=W8A8,16=W4A4,4=W2A2)")
     ap.add_argument("--out", type=str, default="experiments/quality_gate_results.json")
+    ap.add_argument("--amp", action="store_true",
+                    help="train with mixed precision (bf16 activations, "
+                         "f32 master state) — quality-parity leg for the "
+                         "product --amp flag")
     args = ap.parse_args()
     if args.width:
         global WIDTHS
@@ -135,7 +139,7 @@ def main():
     n_mo = len(graph.outputs)
     tr = Trainer(graph, variables, hub, loss_name="hybrid", num_mo=n_mo,
                  n_class=3, base_lr=0.01, max_epoch=args.epochs,
-                 snapshot_root=P.join(root, "snap"),
+                 snapshot_root=P.join(root, "snap"), amp=args.amp,
                  test_interval=10 ** 9, display_interval=50)
     t0 = time.time()
     for ep in range(args.epochs):
@@ -162,7 +166,7 @@ def main():
             [jnp.asarray(im) for im in imgs], axis=0))
 
     results = {"fp_dice": fp_dice, "train_seconds": train_sec,
-               "epochs": args.epochs, "settings": {}}
+               "epochs": args.epochs, "amp": bool(args.amp), "settings": {}}
     tags = {256: "W8A8", 16: "W4A4", 4: "W2A2"}
     for qlvl in (int(x) for x in args.settings.split(",")):
         tag = tags.get(qlvl, f"q{qlvl}")
