@@ -197,6 +197,19 @@ def main():
     mixed_sync_vps = time_sync(infer_mixed)
     mixed_async_vps = time_async(infer_mixed)
 
+    # cross-volume batching: the patch grids of 3 volumes as ONE 24-patch
+    # forward (sliding_window_inference stitches N>1 natively) — larger
+    # MXU M-dim + fewer dispatches; +20% over single-volume pipelining
+    # (scripts/serve_batch_probe.py: 22.6/26.1/27.2 vol/s at N=1/2/3)
+    vj3 = jnp.asarray(np.random.RandomState(1)
+                      .randn(3, *vol_shape, 4).astype(np.float32))
+    seg3 = np.asarray(infer_mixed(vj3))
+    assert seg3.shape == (3, *vol_shape)
+    t0 = time.perf_counter()
+    outs3 = [infer_mixed(vj3) for _ in range(iters)]
+    jax.block_until_ready(outs3)
+    mixed_async3_vps = 3 * iters / (time.perf_counter() - t0)
+
     # serving-artifact overhead probe (export.py): the SAME final-head
     # forward, once as a live jitted graph and once deserialized from the
     # jax.export StableHLO artifact — the artifact claim is that
@@ -317,6 +330,7 @@ def main():
             "int8_pallas_async": round(int8_async_vps, 4),
             "mixed_int8_3x3_sync": round(mixed_sync_vps, 4),
             "mixed_int8_3x3_async": round(mixed_async_vps, 4),
+            "mixed_int8_3x3_async_3vol_batch": round(mixed_async3_vps, 4),
             **({"artifact_async": round(artifact_async_vps, 4),
                 "live_jit_async": round(live_jit_async_vps, 4)}
                if artifact_async_vps else {}),

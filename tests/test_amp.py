@@ -154,3 +154,35 @@ def test_trainer_amp_step_end_to_end(tmp_path):
     for leaf in jax.tree.leaves(tr.opt_state):
         assert jnp.issubdtype(leaf.dtype, jnp.floating) is False or \
             leaf.dtype == jnp.float32
+
+
+def test_amp_data_parallel_step_close_to_f32():
+    """amp=True on the mesh step: finite, f32 param leaves, loss within
+    bf16 rounding of the replicated f32 step from the same init."""
+    from efficientq_tpu.parallel import (data_parallel_train_step, make_mesh,
+                                         replicate, shard_batch)
+    from efficientq_tpu.train.losses import cross_entropy, head_loss_weights
+    from efficientq_tpu.train.schedule import make_optimizer
+
+    graph, variables = small()
+    mesh = make_mesh()
+    opt, _ = make_optimizer(0.01, 100, 10)
+    hw = head_loss_weights(len(graph.outputs))
+    rng = np.random.RandomState(5)
+    xs = shard_batch(mesh, jnp.asarray(
+        rng.randn(8, 8, 8, 8, 1).astype(np.float32)))
+    ys = shard_batch(mesh, jnp.asarray(rng.randint(0, 3, (8, 8, 8, 8))))
+    var_r = replicate(mesh, variables)
+    opt_state = opt.init(var_r["params"])
+
+    losses = {}
+    for amp in (False, True):
+        step = data_parallel_train_step(graph, opt, cross_entropy, hw, mesh,
+                                        amp=amp)
+        p, _, _, loss, _ = step(var_r["params"], var_r["state"], opt_state,
+                                xs, ys, jax.random.PRNGKey(1))
+        losses[amp] = float(loss)
+        for leaf in jax.tree.leaves(p):
+            assert leaf.dtype == jnp.float32
+    assert np.isfinite(losses[True])
+    assert abs(losses[True] - losses[False]) < 0.02, losses
