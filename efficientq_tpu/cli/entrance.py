@@ -209,6 +209,12 @@ def build_parser() -> argparse.ArgumentParser:
     # bf16 (MXU-native, no loss scaling needed), f32 master params / grads /
     # BN stats / Adam state; composes with --remat and --fsdp
     parser.add_argument("--amp", action="store_true")
+    # serving/eval compute dtype for the final tests and the infer mission:
+    # bf16 runs the XLA convs with bf16 operands/outputs (f32 MXU
+    # accumulation) — the bench's fastest serving mode; default f32 keeps
+    # reference-exact eval numerics
+    parser.add_argument("--serve_dtype", default="f32",
+                        choices=("f32", "bf16"))
     return parser
 
 

@@ -50,6 +50,8 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
     (export.py) and graph/variables may be None."""
     os.makedirs(save_dir, exist_ok=True)
     is_cc = bool(getattr(args, "is_cc", False))
+    serve_dtype = (jnp.bfloat16
+                   if getattr(args, "serve_dtype", "f32") == "bf16" else None)
     for split, loader, sns in (("val", hub.valloader, hub.val_sn),
                                ("test", hub.testloader, hub.test_sn)):
         if loader is None:
@@ -66,7 +68,8 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                           restore_shape_func=hub.restore_shape_func,
                           restore_infokw=hub.restore_infokw,
                           merge_label_func=hub.merge_label_func,
-                          multilabel_fusetype=hub.multilabel_fusetype)
+                          multilabel_fusetype=hub.multilabel_fusetype,
+                          compute_dtype=serve_dtype)
         with open(P.join(save_dir, f"{split}_seg.txt"), "w") as f:
             for i in range(-1, -num_mo - 1, -1):
                 sm[i].write_metric(f, "Output %d:" % i, is_indiv=True)
@@ -78,7 +81,8 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                             P.join(save_dir, "true_test"), mode=mode,
                             patch_batch=getattr(args, "patch_batch", 0)
                             or "auto", artifact=artifact,
-                            multilabel_fusetype=hub.multilabel_fusetype)
+                            multilabel_fusetype=hub.multilabel_fusetype,
+                            compute_dtype=serve_dtype)
 
 
 def train_fp(args):
@@ -523,9 +527,11 @@ def _save_artifact(graph, variables, hub, n_mod, n_class, snap_dir, args):
     from .. import export as export_mod
 
     pb = getattr(args, "patch_batch", 0) or 0
+    serve_dtype = getattr(args, "serve_dtype", "f32")
     exported, batch = export_mod.export_patch_model(
         graph, variables, hub.slide_patch_size, n_mod,
-        mode="quantized", patch_batch=pb if pb > 0 else 4)
+        mode="quantized", patch_batch=pb if pb > 0 else 4,
+        compute_dtype=jnp.bfloat16 if serve_dtype == "bf16" else None)
     path = P.join(snap_dir, "serving_artifact.zip")
     export_mod.save_serving_artifact(path, exported, {
         "task": args.task,
@@ -535,6 +541,7 @@ def _save_artifact(graph, variables, hub, n_mod, n_class, snap_dir, args):
         "n_class": int(n_class),
         "batch": batch,
         "deploy": getattr(args, "deploy", "none"),
+        "serve_dtype": serve_dtype,
         "multilabel_fusetype": hub.multilabel_fusetype,
     })
     print(f"serving artifact -> {path} (batch={batch}, "

@@ -20,6 +20,8 @@ import os.path as P
 import time
 from typing import Optional
 
+import jax.numpy as jnp
+
 _MEM_CACHE = {}
 _DISK_CACHE = os.environ.get(
     "EFFQ_TUNE_CACHE",
@@ -71,6 +73,7 @@ def choose_patch_batch(
     default: int = 2,
     verbose: bool = False,
     heads=None,
+    compute_dtype=None,
 ) -> int:
     """Measured patch_batch for this (volume shape, patch, overlap, mode,
     graph-signature) on the current backend.  ``example_image`` is one real
@@ -101,7 +104,8 @@ def choose_patch_batch(
     key = str(("v3", vol_shape, n_patches, tuple(ops.triple(patch_size)),
                tuple(ops.triple(overlap)), mode, str(precision), gsig,
                (heads.start, heads.stop, heads.step)
-               if heads is not None else None))
+               if heads is not None else None,
+               jnp.dtype(compute_dtype).name if compute_dtype else None))
     if key in _MEM_CACHE:
         return _MEM_CACHE[key]
     disk = _load_disk()
@@ -116,7 +120,7 @@ def choose_patch_batch(
         try:
             infer = make_jitted_volume_inferencer(
                 graph, patch_batch=cand, mode=mode, precision=precision,
-                heads=heads)
+                heads=heads, compute_dtype=compute_dtype)
             args = (variables, example_image,
                     tuple(ops.triple(patch_size)),
                     tuple(ops.triple(overlap)))

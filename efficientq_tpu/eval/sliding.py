@@ -159,7 +159,8 @@ def sliding_window_inference(
 
 def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
                                   precision=None, heads=None,
-                                  hard_pred=False, multilabel=False):
+                                  hard_pred=False, multilabel=False,
+                                  compute_dtype=None):
     """Returns infer(variables, image, patch_size, overlap) jitted per
     (volume shape, patch size) signature.  ``heads``: see
     sliding_window_inference.
@@ -176,7 +177,8 @@ def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
     def infer(variables, image, patch_size, overlap):
         def model_fn(xb):
             return nnir.apply(graph, variables, xb, mode=mode,
-                              precision=precision)
+                              precision=precision,
+                              compute_dtype=compute_dtype)
 
         # hard predictions are invariant to the overlap-average division
         # (positive per-voxel count shared across classes), so skip the

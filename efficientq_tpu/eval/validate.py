@@ -43,6 +43,7 @@ def validate_seg(
     mesh=None,
     artifact=None,
     infer=None,
+    compute_dtype=None,
 ) -> List[SegMetricMC]:
     """Evaluate on a loader of (N, C, D, H, W) numpy batches.
 
@@ -127,7 +128,8 @@ def validate_seg(
 
                 infer = make_sharded_volume_inferencer(
                     graph, mesh, mode=mode, precision=precision,
-                    hard_pred=True, multilabel=multilabel)
+                    hard_pred=True, multilabel=multilabel,
+                    compute_dtype=compute_dtype)
             else:
                 pb = patch_batch
                 if pb == "auto":
@@ -135,10 +137,12 @@ def validate_seg(
 
                     pb = choose_patch_batch(graph, variables, x, patch_size,
                                             overlap, mode=mode,
-                                            precision=precision)
+                                            precision=precision,
+                                            compute_dtype=compute_dtype)
                 infer = make_jitted_volume_inferencer(
                     graph, patch_batch=pb, mode=mode, precision=precision,
-                    hard_pred=True, multilabel=multilabel)
+                    hard_pred=True, multilabel=multilabel,
+                    compute_dtype=compute_dtype)
         preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
                           tuple(ops.triple(overlap)))
         if pending is not None:
@@ -174,7 +178,7 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
               overlap, sn_fn_dict=None, suffix="_seg", mode="fp",
               restore_shape_func=None, restore_infokw=None,
               merge_label_func=None, multilabel_fusetype=None,
-              patch_batch="auto", artifact=None):
+              patch_batch="auto", artifact=None, compute_dtype=None):
     """Label-free inference + NIfTI export (validate.py:266-303).  With
     ``artifact`` (export.ServingArtifact) the forward runs from the
     serialized module; graph/variables may be None."""
@@ -217,12 +221,15 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
 
                     pb = choose_patch_batch(graph, variables, x, patch_size,
                                             overlap, mode=mode,
-                                            heads=final_head)
+                                            heads=final_head,
+                                            compute_dtype=compute_dtype)
                 infer = make_jitted_volume_inferencer(graph, patch_batch=pb,
                                                       mode=mode,
                                                       heads=final_head,
                                                       hard_pred=True,
-                                                      multilabel=multilabel)
+                                                      multilabel=multilabel,
+                                                      compute_dtype=
+                                                      compute_dtype)
         preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
                           tuple(ops.triple(overlap)))
         if pending is not None:
@@ -234,7 +241,7 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
 
 def true_test_inference(graph, variables, data, save_dir, mode="fp",
                         patch_batch="auto", multilabel_fusetype=None,
-                        artifact=None):
+                        artifact=None, compute_dtype=None):
     """Label-free export of the true-test split — the reference's
     ``inference_final`` (trainer.py:253-270,307; suffix '' as trainer.test
     passes it).  Shared by the mission driver and the Tester."""
@@ -250,7 +257,8 @@ def true_test_inference(graph, variables, data, save_dir, mode="fp",
               restore_shape_func=data.restore_shape_func,
               restore_infokw=data.restore_infokw,
               merge_label_func=data.merge_label_func,
-              multilabel_fusetype=multilabel_fusetype, artifact=artifact)
+              multilabel_fusetype=multilabel_fusetype, artifact=artifact,
+              compute_dtype=compute_dtype)
 
 
 def restore_crop(crop, pmin, pmax, shape):

@@ -46,7 +46,7 @@ MANIFEST_NAME = "manifest.json"
 
 def export_patch_model(graph, variables, patch_size, n_mod: int, *,
                        mode: str = "quantized", patch_batch: int = 4,
-                       platforms=None):
+                       platforms=None, compute_dtype=None):
     """Export the final-head patch forward with weights baked in.
 
     Returns ``(exported, batch)`` where ``batch`` is the string
@@ -54,6 +54,8 @@ def export_patch_model(graph, variables, patch_size, n_mod: int, *,
     to ``('tpu',)`` when the graph carries Pallas nodes (their Mosaic
     custom calls only target TPU) and ``('cpu', 'tpu')`` otherwise —
     cross-platform lowering needs no device of the target kind.
+    ``compute_dtype`` bakes a low-precision serving dtype (--serve_dtype
+    bf16) into the module; head outputs stay f32 either way.
     """
     from jax import export as jexport
 
@@ -62,7 +64,8 @@ def export_patch_model(graph, variables, patch_size, n_mod: int, *,
     def patch_fn(xb):
         # final head only: slicing before export lets XLA DCE the aux
         # classifiers out of the serialized module (eval/sliding.py heads)
-        return nnir.apply(graph, variables, xb, mode=mode)[-1:]
+        return nnir.apply(graph, variables, xb, mode=mode,
+                          compute_dtype=compute_dtype)[-1:]
 
     if platforms is None:
         has_pallas = any(n.attrs.get("pallas") for n in graph.nodes)

@@ -282,19 +282,23 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
             kernel = fake_quant_weight(kernel, p["alpha_w"], qcfg.qlvl_w)
     if compute_dtype is not None:
         # low-precision inference: cast operands (quantization error dwarfs
-        # bf16 rounding of the grid values), accumulate f32, and EMIT at
-        # compute_dtype — a channel-minor f32 write at the 64^3 stages is a
-        # tile-padded ~1 GB pass; every downstream consumer (act-quant,
-        # adds, pools) re-rounds or tolerates bf16 anyway.  apply() casts
-        # the head outputs back to f32 at the output boundary.
+        # bf16 rounding of the grid values) and EMIT at compute_dtype — a
+        # channel-minor f32 write at the 64^3 stages is a tile-padded ~1 GB
+        # pass; every downstream consumer (act-quant, adds, pools) re-rounds
+        # or tolerates bf16 anyway.  apply() casts the head outputs back to
+        # f32 at the output boundary.  The conv emits compute_dtype NATIVELY
+        # (the MXU still accumulates bf16 operands in f32 and rounds once):
+        # the earlier preferred_element_type=f32 + astype form left XLA
+        # materializing the f32 conv output in HBM — the 2026-08-18 per-op
+        # profile showed the stem fusion writing f32[8,64^3,32] (1 GB
+        # tile-padded) with the bf16 convert duplicated into the consumers.
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
         y = ops.conv3d(x, kernel, None, a["stride"], a["padding"],
-                       a["dilation"], a["groups"], precision=precision,
-                       preferred_element_type=jnp.float32)
+                       a["dilation"], a["groups"], precision=precision)
         if bias is not None:
-            y = y + bias
-        return y.astype(compute_dtype)
+            y = y + bias.astype(compute_dtype)
+        return y
     y = ops.conv3d(x, kernel, None, a["stride"], a["padding"],
                    a["dilation"], a["groups"], precision=precision)
     if bias is not None:

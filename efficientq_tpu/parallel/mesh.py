@@ -186,7 +186,8 @@ def tensor_parallel_apply(graph, mesh, variables, x, axis_name: str = "model",
 def make_sharded_volume_inferencer(graph, mesh, mode: str = "fp",
                                    axis_name: str = "data", precision=None,
                                    hard_pred: bool = False,
-                                   multilabel: bool = False):
+                                   multilabel: bool = False,
+                                   compute_dtype=None):
     """Compile-once sharded analogue of
     eval.sliding.make_jitted_volume_inferencer (the reference's long-axis
     analogue, SURVEY.md §2.2): patch extraction, the mesh-sharded forward,
@@ -220,7 +221,8 @@ def make_sharded_volume_inferencer(graph, mesh, mode: str = "fp",
             flat = jnp.concatenate([flat, jnp.repeat(flat[:1], pad, axis=0)])
         flat = jax.lax.with_sharding_constraint(flat, xsh)
         out = nnir.apply(graph, variables, flat, mode=mode,
-                         precision=precision)  # (M, P*N+pad, pd, ph, pw, C)
+                         precision=precision, compute_dtype=compute_dtype
+                         )  # (M, P*N+pad, pd, ph, pw, C)
         out = out[:, :Pn * N]
         M = out.shape[0]
         out = out.reshape(M, Pn, N, *out.shape[2:])
