@@ -241,7 +241,10 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
                              if quant_for else None),
                 quant_qlvl=a.get("epilogue_qlvl", 0) if quant_for else 0,
                 x_quantized=bool(a.get("input_quantized")),
-                residual_relu=bool(a.get("residual_relu")))
+                residual_relu=bool(a.get("residual_relu")),
+                # dual output (y, maxpool2(y)); consumers are tuple_get
+                # nodes (pallas/epilogue.py::_fuse_pools)
+                pool=bool(a.get("epilogue_pool")))
         if a.get("int8"):
             y = fused_int8_matmul(
                 x.reshape(-1, c), p["kernel_int8"].reshape(c, -1),

@@ -112,9 +112,54 @@ def fuse_int8_epilogues(graph: Graph) -> Graph:
             nodes[nxt.name] = dataclasses.replace(
                 nodes[nxt.name], op="identity", inputs=(last,))
 
+    _fuse_pools(graph, nodes)
     _elide_relus(graph, nodes)
     return Graph([nodes[n.name] for n in graph.nodes], list(graph.outputs),
                  graph.input_name)
+
+
+def _fuse_pools(graph: Graph, nodes: Dict[str, Node]) -> None:
+    """Rewrite #4: conv(+residual) -> identity(the fused add) -> maxpool(2)
+    becomes a dual-output kernel (pallas/qconv3d.py ``pool``): the encoder's
+    TransDown downsample pass re-reads the full stage activation (~1 ms at
+    the 64^3 stage); the kernel emits the pooled planes alongside.  The
+    identity becomes tuple_get(0) (the skip/decoder consumers see y
+    unchanged) and the maxpool becomes tuple_get(1)."""
+    cons = graph.consumers(nodes)
+    for n in graph.nodes:
+        node = nodes[n.name]
+        if (not _is_pallas_int8_3x3(node)
+                or node.attrs.get("epilogue_quant_for")):
+            continue
+        # walk the single-consumer transparent chain after the conv (the
+        # folded-BN identity, then the fused residual add's identity); the
+        # pool hangs off wherever the chain fans out
+        cur, first_t = node.name, None
+        while True:
+            if cur in graph.outputs:
+                first_t = None
+                break
+            cs = [c for c in cons.get(cur, []) if c != "__output__"]
+            if len(cs) == 1 and nodes[cs[0]].op in _TRANSPARENT:
+                if first_t is None:
+                    first_t = cs[0]
+                cur = cs[0]
+                continue
+            break
+        if first_t is None:
+            continue  # need a transparent hop to host tuple_get(0)
+        pools = [u for u in cons.get(cur, [])
+                 if u != "__output__" and nodes[u].op == "maxpool"
+                 and nodes[u].attrs.get("kernel") == (2, 2, 2)
+                 and nodes[u].attrs.get("stride") == (2, 2, 2)]
+        if len(pools) != 1:
+            continue
+        node.attrs["epilogue_pool"] = True
+        nodes[first_t] = dataclasses.replace(nodes[first_t], op="tuple_get",
+                                             attrs={"idx": 0})
+        nodes[pools[0]] = dataclasses.replace(
+            nodes[pools[0]], op="tuple_get", inputs=(node.name,),
+            attrs={"idx": 1})
 
 
 def _quant_absorbs_relu(node: Node) -> bool:

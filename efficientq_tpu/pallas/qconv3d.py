@@ -41,9 +41,9 @@ except Exception:  # pragma: no cover
 
 
 def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
-                    has_res, res_relu, quant_qlvl):
+                    has_res, res_relu, quant_qlvl, pool):
     """refs = tz + 2*dil int8 plane refs, [res_ref], then w_ref, b_ref,
-    o_ref.
+    o_ref[, pool_ref].
 
     Each program computes ``tz`` output z-planes from tz + 2*dil input
     planes (z-tiling: an input plane is fetched by ~(tz+2dil)/tz programs
@@ -67,7 +67,12 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
     plane_refs = refs[:tz + 2 * dil]
     rest = refs[tz + 2 * dil:]
     res_ref = rest[0] if has_res else None
-    w_ref, sb_ref, o_ref = rest[1 if has_res else 0:]
+    pool_ref = None
+    if pool:
+        *head, pool_ref = rest[1 if has_res else 0:]
+        w_ref, sb_ref, o_ref = head
+    else:
+        w_ref, sb_ref, o_ref = rest[1 if has_res else 0:]
     # sb_ref: (2, O) f32 — row 0 the scale (per-tensor broadcast or
     # per-output-channel under channel_wise), row 1 the bias.  Elementwise
     # f32 multiply, so the broadcast form is bit-identical to the old
@@ -114,12 +119,37 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
             o_ref[0, z] = jnp.round(q).astype(jnp.int8)
         else:
             o_ref[0, z] = y.astype(out_dtype)
+        if pool:
+            # TransDown maxpool(2) epilogue: the encoder's downsample pass
+            # re-reads this conv's full-stage output (~1 ms at 64^3);
+            # emitting the pooled planes here removes that pass.  max
+            # commutes with the monotone out_dtype cast, so pooling the f32
+            # accumulator equals pooling the cast output bit-for-bit.
+            yp = jnp.max(y.reshape(H // 2, 2, W // 2, 2, -1), axis=(1, 3))
+            if tz == 1:
+                # z-pairs span two consecutive programs: the pooled output
+                # block's index map (zi // 2) keeps ONE block live across
+                # both (the TPU grid runs sequentially), so the odd program
+                # read-modify-writes the even program's row
+                @pl.when(zi % 2 == 0)
+                def _store():
+                    pool_ref[0, 0] = yp.astype(out_dtype)
+
+                @pl.when(zi % 2 != 0)
+                def _merge():
+                    pool_ref[0, 0] = jnp.maximum(pool_ref[0, 0],
+                                                 yp.astype(out_dtype))
+            elif z % 2 == 0:
+                pool_row = yp
+            else:
+                pool_ref[0, z // 2] = jnp.maximum(pool_row,
+                                                  yp).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("qlvl_act", "dilation",
                                              "interpret", "out_dtype",
                                              "quant_qlvl", "x_quantized",
-                                             "residual_relu"))
+                                             "residual_relu", "pool"))
 def qconv3x3_int8_ndhwc(
     x: jax.Array,
     w_codes: jax.Array,
@@ -135,6 +165,7 @@ def qconv3x3_int8_ndhwc(
     quant_qlvl: int = 0,
     x_quantized: bool = False,
     residual_relu: bool = False,
+    pool: bool = False,
 ) -> jax.Array:
     """y = conv3d(int8_codes(x), w_codes) * scale + bias, stride 1,
     padding = dilation ('same'), one fused Pallas program per output plane.
@@ -149,6 +180,10 @@ def qconv3x3_int8_ndhwc(
                                alpha_act
       x_quantized            — x already holds int8 codes (the producer
                                emitted them); skip the XLA act-quant
+      pool                   — ALSO emit maxpool-2x2x2 planes as a second
+                               output (the TransDown downsample); returns
+                               (y, y_pool).  Never combined with the quant
+                               epilogue (different consumers).
 
     A fused-lane (H, W*C) layout variant was tried for the low-C stages
     (it would remove the C->128 lane padding): Mosaic cannot lower its
@@ -196,7 +231,12 @@ def qconv3x3_int8_ndhwc(
                 + t * h * w_sp * _pad128(o) * out_bytes * 2  # out x2
                 + t * h * w_sp * _pad128(o) * rb * 2         # residual x2
                 + h * w_sp * _pad128(3 * c)                  # im2col block
-                + h * w_sp * _pad128(o) * 4)                 # i32 accumulator
+                + h * w_sp * _pad128(o) * 4                  # i32 accumulator
+                + (t * h * w_sp * _pad128(o) * out_bytes // 4
+                   if pool else 0))                          # pooled out x2
+
+    assert not (pool and quant_qlvl), \
+        "pool and quant epilogues have different consumers"
 
     tz = 1
     if h * w_sp >= 1024:  # tiny planes: per-z overhead beats the read saving
@@ -204,6 +244,15 @@ def qconv3x3_int8_ndhwc(
             if d % t == 0 and est_vmem(t, res_bytes) < 9 * 1024 * 1024:
                 tz = t
                 break
+
+    if pool and (d % 2 or h % 2 or w_sp % 2):
+        # pooling needs even dims (tz=1 pairs planes ACROSS programs via
+        # the revisited output block); otherwise conv then pool in XLA
+        y = qconv3x3_int8_ndhwc(
+            x, w_codes, bias, alpha_act, scale, qlvl_act, dilation=dilation,
+            interpret=interpret, out_dtype=out_dtype, residual=residual,
+            x_quantized=x_quantized, residual_relu=residual_relu)
+        return y, _xla_maxpool2(y)
 
     if residual is not None and est_vmem(tz, res_bytes) > 12 * 1024 * 1024:
         # residual block doesn't fit VMEM at this geometry (e.g. 64^3
@@ -217,13 +266,14 @@ def qconv3x3_int8_ndhwc(
         res = residual.astype(y.dtype)
         if residual_relu:
             res = jnp.maximum(res, 0)
-        return y + res
+        y = y + res
+        return (y, _xla_maxpool2(y)) if pool else y
 
     kernel = functools.partial(_qconv3d_kernel, H=h, W=w_sp, D=d, dil=dil,
                                tz=tz, out_dtype=out_dtype,
                                has_res=residual is not None,
                                res_relu=residual_relu,
-                               quant_qlvl=quant_qlvl)
+                               quant_qlvl=quant_qlvl, pool=pool)
     # z taps clamped into range; the kernel masks the out-of-range ones
     plane_spec = [
         pl.BlockSpec((1, 1, h, w_sp, c),
@@ -246,10 +296,30 @@ def qconv3x3_int8_ndhwc(
             pl.BlockSpec((3, 3, 3 * c, o), lambda ni, zi: (0, 0, 0, 0)),
             pl.BlockSpec((2, o), lambda ni, zi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tz, h, w_sp, o),
-                               lambda ni, zi: (ni, zi, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(
-            (n, d, h, w_sp, o), jnp.int8 if quant_qlvl else out_dtype),
+        out_specs=(
+            [pl.BlockSpec((1, tz, h, w_sp, o),
+                          lambda ni, zi: (ni, zi, 0, 0, 0)),
+             pl.BlockSpec((1, max(tz // 2, 1), h // 2, w_sp // 2, o),
+                          (lambda ni, zi: (ni, zi, 0, 0, 0)) if tz > 1
+                          else (lambda ni, zi: (ni, zi // 2, 0, 0, 0)))]
+            if pool else
+            pl.BlockSpec((1, tz, h, w_sp, o),
+                         lambda ni, zi: (ni, zi, 0, 0, 0))),
+        out_shape=(
+            [jax.ShapeDtypeStruct((n, d, h, w_sp, o), out_dtype),
+             jax.ShapeDtypeStruct((n, d // 2, h // 2, w_sp // 2, o),
+                                  out_dtype)]
+            if pool else
+            jax.ShapeDtypeStruct(
+                (n, d, h, w_sp, o), jnp.int8 if quant_qlvl else out_dtype)),
         interpret=interpret,
     )(scale1, *([qa] * (tz + 2 * dil)), *res_arg, w_mat, sb)
-    return out
+    return tuple(out) if pool else out
+
+
+def _xla_maxpool2(y: jax.Array) -> jax.Array:
+    """2x2x2/2 max pool (the fallback for the pool epilogue)."""
+    return jax.lax.reduce_window(
+        y, (jnp.finfo(y.dtype).min if jnp.issubdtype(y.dtype, jnp.floating)
+            else jnp.iinfo(y.dtype).min),
+        jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID")

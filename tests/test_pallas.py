@@ -291,3 +291,56 @@ def test_epilogue_fusion_dilated_graph_parity():
     got = nnir.apply(igf, ivf, x, mode="quantized",
                      precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_qconv3x3_pool_epilogue_matches_oracle():
+    """pool=True dual output: (y, maxpool2(y)) — bit-exact vs the separate
+    reduce_window, on both the in-kernel path (even tz: 32x32 planes,
+    d % tz == 0) and the fallback (tiny planes -> tz=1 -> XLA pool)."""
+    from efficientq_tpu.pallas.qconv3d import _xla_maxpool2, qconv3x3_int8_ndhwc
+
+    rng = np.random.RandomState(7)
+    for n, d, h, w, c, o in ((1, 4, 32, 32, 4, 6),   # in-kernel, tz=4
+                             (1, 4, 8, 8, 4, 6),     # tz=1: cross-program
+                             (1, 5, 8, 8, 4, 6)):    # odd d: XLA fallback
+        x = jnp.asarray(np.abs(rng.randn(n, d, h, w, c)).astype(np.float32))
+        codes = jnp.asarray(
+            rng.randint(-3, 4, size=(3, 3, 3, c, o)).astype(np.int8))
+        b = jnp.asarray(rng.randn(o).astype(np.float32))
+        res = jnp.asarray(rng.randn(n, d, h, w, o).astype(np.float32))
+        na, alpha, scale = 4, 0.9, 0.37
+        for residual in (None, res):
+            y_ref = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
+                                        interpret=True, residual=residual)
+            y, yp = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
+                                        interpret=True, residual=residual,
+                                        pool=True)
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+            np.testing.assert_array_equal(np.asarray(yp),
+                                          np.asarray(_xla_maxpool2(y_ref)))
+
+
+def test_pool_epilogue_graph_rewrite_and_parity():
+    """_fuse_pools: the TransDown maxpool becomes tuple_get(1) of the
+    stage's exit conv; whole-net output bit-exact vs the unfused deploy."""
+    from efficientq_tpu import nnir
+    from efficientq_tpu.ptq.deploy import to_int8_inference
+
+    fg, fv = _tiny_q_model()
+    ig, iv = to_int8_inference(fg, fv, pallas=True, fuse_epilogues=False)
+    igf, ivf = to_int8_inference(fg, fv, pallas=True, fuse_epilogues=True)
+    pooled = [n for n in igf.nodes if n.attrs.get("epilogue_pool")]
+    assert pooled, "no pool epilogue fused on the encoder TransDown edge"
+    tgs = [n for n in igf.nodes
+           if n.op == "tuple_get" and n.attrs.get("idx") == 1]
+    assert len(tgs) == len(pooled)
+    assert not any(n.op == "maxpool" and n.inputs[0] in
+                   {p.name for p in pooled} for n in igf.nodes)
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 2).astype(np.float32))
+    ref = nnir.apply(ig, iv, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    got = nnir.apply(igf, ivf, x, mode="quantized",
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
