@@ -101,7 +101,7 @@ def main():
                                            s2d_stem_serving,
                                            to_int8_inference)
 
-    def make_infer(g, v):
+    def make_infer(g, v, n_vols=1):
         # serving tail rewrite: final head only, emitted NCDHW so the
         # head conv / trilinear up / stitch run with W on the vector lanes
         # instead of a C=3 minor dim that tiles at ~42x its logical bytes
@@ -144,7 +144,7 @@ def main():
             # to the positive per-voxel visit count (sigmoid(x) >= 0.5 <=>
             # x >= 0), so the overlap-average division is skipped
             logits = sliding_window_inference(model_fn, image, patch, overlap,
-                                              patch_batch=n_patches,
+                                              patch_batch=n_patches * n_vols,
                                               channels_first=True,
                                               normalize=False,
                                               extract_fn=extract_fn)
@@ -198,15 +198,18 @@ def main():
     mixed_async_vps = time_async(infer_mixed)
 
     # cross-volume batching: the patch grids of 3 volumes as ONE 24-patch
-    # forward (sliding_window_inference stitches N>1 natively) — larger
-    # MXU M-dim + fewer dispatches; +20% over single-volume pipelining
-    # (scripts/serve_batch_probe.py: 22.6/26.1/27.2 vol/s at N=1/2/3)
+    # forward (sliding_window_inference stitches N>1 natively; the
+    # inferencer's patch_batch must scale with the volume count or the
+    # grid silently chunks back to 8-patch forwards — review r3) —
+    # larger MXU M-dim + fewer dispatches; +17-20% over single-volume
+    # pipelining in an isolated process (scripts/serve_batch_probe.py)
+    infer_mixed3 = make_infer(mgraph, mvars, n_vols=3)
     vj3 = jnp.asarray(np.random.RandomState(1)
                       .randn(3, *vol_shape, 4).astype(np.float32))
-    seg3 = np.asarray(infer_mixed(vj3))
+    seg3 = np.asarray(infer_mixed3(vj3))
     assert seg3.shape == (3, *vol_shape)
     t0 = time.perf_counter()
-    outs3 = [infer_mixed(vj3) for _ in range(iters)]
+    outs3 = [infer_mixed3(vj3) for _ in range(iters)]
     jax.block_until_ready(outs3)
     mixed_async3_vps = 3 * iters / (time.perf_counter() - t0)
 

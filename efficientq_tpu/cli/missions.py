@@ -477,6 +477,7 @@ def infer(args):
         return snap_dir
 
     cfg, model_info, n_mo = definer.get_model_config(args)
+    validate_spatial_shape(patch_size, cfg, "--patch_size")
     graph = build_uresq(cfg)
     variables = nnir.init(graph, jax.random.PRNGKey(0))
     if not args.pretrain:

@@ -191,11 +191,19 @@ class Trainer:
 
         loss_buf, arr_buf = [], []
         for x, y in device_feed(self.data.trainloader):
-            p, s, o, loss, arr = self._train_step(
-                self.variables["params"], self.variables["state"],
-                self.opt_state, x, y, self.rng, self.step_idx)
-            self.variables = {"params": p, "state": s}
-            self.opt_state = o
+            # critical section: the step DONATES the carried state, so a
+            # KeyboardInterrupt between dispatch and the reassignment would
+            # leave self.variables pointing at deleted buffers — and the
+            # interrupt handler's emergency snapshot (train():
+            # 'KeyboardInterrupt') would fail instead of saving.  Defer
+            # SIGINT across dispatch + reassign (microseconds; the step
+            # itself is an async dispatch).
+            with _defer_sigint():
+                p, s, o, loss, arr = self._train_step(
+                    self.variables["params"], self.variables["state"],
+                    self.opt_state, x, y, self.rng, self.step_idx)
+                self.variables = {"params": p, "state": s}
+                self.opt_state = o
             self.step_idx += 1
             loss_buf.append(loss)
             arr_buf.append(arr)
@@ -384,6 +392,29 @@ class Trainer:
                 v = (v / np.abs(v).max()).astype(np.int8)
             sdx[k] = v
         np.savez_compressed(P.join(self.root, f"state_{name}"), state_dict=sdx)
+
+
+import contextlib
+import signal as _signal
+
+
+@contextlib.contextmanager
+def _defer_sigint():
+    """Delay SIGINT delivery across the train step's donate+reassign window
+    (no-op off the main thread, where Python delivers no signals anyway)."""
+    pending = []
+    try:
+        old = _signal.signal(_signal.SIGINT,
+                             lambda *a: pending.append(a))
+    except ValueError:  # not the main thread
+        yield
+        return
+    try:
+        yield
+    finally:
+        _signal.signal(_signal.SIGINT, old)
+        if pending:
+            raise KeyboardInterrupt
 
 
 def _is_torch_pickle(path: str) -> bool:

@@ -36,9 +36,6 @@ def top_device_ops(logdir, top=25):
         ev_names = {i: m.name for i, m in plane.event_metadata.items()}
         for line in plane.lines:
             # XLA Ops / XLA Modules lines both appear; use the op-level line
-            if line.name not in ("XLA Ops", "Steps", "XLA TraceMe",
-                                 "Framework Ops"):
-                pass
             if line.name != "XLA Ops":
                 continue
             for ev in line.events:

@@ -310,14 +310,19 @@ def test_qconv3x3_pool_epilogue_matches_oracle():
         res = jnp.asarray(rng.randn(n, d, h, w, o).astype(np.float32))
         na, alpha, scale = 4, 0.9, 0.37
         for residual in (None, res):
-            y_ref = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
-                                        interpret=True, residual=residual)
-            y, yp = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
-                                        interpret=True, residual=residual,
-                                        pool=True)
-            np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
-            np.testing.assert_array_equal(np.asarray(yp),
-                                          np.asarray(_xla_maxpool2(y_ref)))
+            for dt in (jnp.float32, jnp.bfloat16):  # bf16 = serving dtype
+                r = (residual.astype(dt) if residual is not None
+                     and dt == jnp.bfloat16 else residual)
+                y_ref = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
+                                            interpret=True, residual=r,
+                                            out_dtype=dt)
+                y, yp = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
+                                            interpret=True, residual=r,
+                                            pool=True, out_dtype=dt)
+                np.testing.assert_array_equal(np.asarray(y),
+                                              np.asarray(y_ref))
+                np.testing.assert_array_equal(
+                    np.asarray(yp), np.asarray(_xla_maxpool2(y_ref)))
 
 
 def test_pool_epilogue_graph_rewrite_and_parity():

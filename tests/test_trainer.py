@@ -88,3 +88,39 @@ def test_exponential_warmup_variant():
     # 1 - exp(-(t+1)/period), matching pytorch_warmup ExponentialWarmup
     got = float(s(4)) / (1 - 4 / 1000) ** 0.9
     assert got == pytest.approx(1 - np.exp(-5 / 10), rel=1e-4)
+
+
+def test_interrupt_mid_step_leaves_snapshotable_state(tmp_path):
+    """The train step donates its carried buffers; a SIGINT landing inside
+    the dispatch+reassign window must be deferred past the reassignment so
+    the KeyboardInterrupt emergency snapshot (train()) still reads live
+    arrays instead of raising 'Array has been deleted'."""
+    import os
+    import signal
+
+    hub = make_hub(tmp_path)
+    cfg = UResQConfig(num_mod=1, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[4, 8, 4], dilation_config=[1, 1, 1],
+                      init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid",
+                      ds="simple", ds_depth_limit=3)
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    tr = Trainer(graph, variables, hub, loss_name="ce",
+                 num_mo=len(graph.outputs), n_class=3, base_lr=0.01,
+                 max_epoch=1, snapshot_root=str(tmp_path / "snap"),
+                 test_interval=100, display_interval=100)
+    tr.train_epoch()  # compile
+
+    orig_step = tr._train_step
+
+    def interrupting_step(*a):
+        os.kill(os.getpid(), signal.SIGINT)  # lands inside _defer_sigint
+        return orig_step(*a)
+
+    tr._train_step = interrupting_step
+    import pytest
+
+    with pytest.raises(KeyboardInterrupt):
+        tr.train_epoch()
+    path = tr.snapshot(tr.epoch, "KeyboardInterrupt")
+    assert P.isfile(path)
