@@ -135,8 +135,11 @@ def main():
                 # 2-bit quantization the bf16 rounding of grid values is
                 # noise, and the MXU runs at full bf16 throughput.  Pallas-
                 # flagged int8 nodes run their own fused MXU kernels.
+                # keep_head_dtype: this is hard-pred serving — the head /
+                # stitch / sign-test tail stays bf16
                 return nnir.apply(g, v, xb, mode="quantized",
-                                  compute_dtype=jnp.bfloat16)
+                                  compute_dtype=jnp.bfloat16,
+                                  keep_head_dtype=True)
 
             # full 8-patch grid as ONE batched forward: fewest dispatch
             # round-trips and best MXU utilization (measured sweep up to the

@@ -173,12 +173,18 @@ def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
     SegMetricMC.evaluate_append_pred consumes the result directly."""
     from .. import nnir
 
+    # hard-pred serving keeps the head at compute_dtype through the
+    # stitch/argmax tail (the full-volume canvas traffic halves); the
+    # logits path casts back to f32 at the apply() boundary as usual
+    keep_hd = bool(hard_pred and compute_dtype is not None)
+
     @partial(jax.jit, static_argnames=("patch_size", "overlap"))
     def infer(variables, image, patch_size, overlap):
         def model_fn(xb):
             return nnir.apply(graph, variables, xb, mode=mode,
                               precision=precision,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              keep_head_dtype=keep_hd)
 
         # hard predictions are invariant to the overlap-average division
         # (positive per-voxel count shared across classes), so skip the

@@ -343,8 +343,18 @@ def eval_node(node: Node, params: Dict[str, Any], state: Dict[str, Any],
             if mode == "fq" and qcfg.q_weight:
                 kernel = fake_quant_weight(kernel, p["alpha_w"], qcfg.qlvl_w)
         if compute_dtype is not None:
+            # emit at compute_dtype natively (MXU f32 accumulation, one
+            # rounding) — same rationale as _eval_conv: preferred f32 +
+            # astype leaves XLA materializing the f32 head tensor
             x = x.astype(compute_dtype)
             kernel = kernel.astype(compute_dtype)
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1, 1), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NCDHW"))
+            if "bias" in p:
+                y = y + p["bias"].reshape(1, -1, 1, 1, 1).astype(
+                    compute_dtype)
+            return y
         # 1x1 conv with an NCDHW output spec (CPU's dot thunk can't take
         # bf16 operands with f32 accumulation; the conv thunk can)
         y = jax.lax.conv_general_dilated(
@@ -522,6 +532,7 @@ def apply(
     compute_dtype=None,
     capture: Optional[Sequence[str]] = None,
     remat: int = 0,
+    keep_head_dtype: bool = False,
 ):
     """Interpret the graph on input ``x`` (NDHWC).
 
@@ -572,9 +583,12 @@ def apply(
             captured[node.name] = out
 
     outs = [values[n] for n in graph.outputs]
-    if compute_dtype is not None:
+    if compute_dtype is not None and not keep_head_dtype:
         # external contract: head outputs are f32 regardless of the
-        # internal compute precision (tests/test_compute_dtype.py)
+        # internal compute precision (tests/test_compute_dtype.py).
+        # keep_head_dtype=True opts out for hard-prediction serving: the
+        # downstream stitch/argmax/sign-test tail then runs at
+        # compute_dtype, halving the full-volume canvas traffic
         outs = [o.astype(jnp.float32) for o in outs]
     out = jnp.stack(outs, axis=0)
     if capture is not None:

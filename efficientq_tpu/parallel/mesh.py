@@ -221,7 +221,9 @@ def make_sharded_volume_inferencer(graph, mesh, mode: str = "fp",
             flat = jnp.concatenate([flat, jnp.repeat(flat[:1], pad, axis=0)])
         flat = jax.lax.with_sharding_constraint(flat, xsh)
         out = nnir.apply(graph, variables, flat, mode=mode,
-                         precision=precision, compute_dtype=compute_dtype
+                         precision=precision, compute_dtype=compute_dtype,
+                         keep_head_dtype=bool(hard_pred and compute_dtype
+                                              is not None)
                          )  # (M, P*N+pad, pd, ph, pw, C)
         out = out[:, :Pn * N]
         M = out.shape[0]

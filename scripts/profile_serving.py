@@ -98,7 +98,8 @@ def main():
     def infer(v, image):
         def model_fn(xb):
             return nnir.apply(g, v, xb, mode="quantized",
-                              compute_dtype=jnp.bfloat16)
+                              compute_dtype=jnp.bfloat16,
+                              keep_head_dtype=True)
 
         logits = sliding_window_inference(model_fn, image, patch, overlap,
                                           patch_batch=n_patches,

@@ -62,7 +62,8 @@ def main():
         def infer_volume(v, image):
             def model_fn(xb):
                 return nnir.apply(g, v, xb, mode="quantized",
-                                  compute_dtype=jnp.bfloat16)
+                                  compute_dtype=jnp.bfloat16,
+                                  keep_head_dtype=True)
 
             logits = sliding_window_inference(
                 model_fn, image, patch, overlap,
