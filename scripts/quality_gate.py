@@ -112,6 +112,10 @@ def main():
                     help="train with mixed precision (bf16 activations, "
                          "f32 master state) — quality-parity leg for the "
                          "product --amp flag")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init/trainer seed (data stays seed 0 so runs "
+                         "share the dataset); use to size run-to-run "
+                         "variance when comparing legs")
     args = ap.parse_args()
     if args.width:
         global WIDTHS
@@ -135,11 +139,12 @@ def main():
 
     cfg = model_cfg(init_stride=init_stride)
     graph = build_uresq(cfg)
-    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    variables = nnir.init(graph, jax.random.PRNGKey(args.seed))
     n_mo = len(graph.outputs)
     tr = Trainer(graph, variables, hub, loss_name="hybrid", num_mo=n_mo,
                  n_class=3, base_lr=0.01, max_epoch=args.epochs,
                  snapshot_root=P.join(root, "snap"), amp=args.amp,
+                 seed=args.seed,
                  test_interval=10 ** 9, display_interval=50)
     t0 = time.time()
     for ep in range(args.epochs):
@@ -166,7 +171,8 @@ def main():
             [jnp.asarray(im) for im in imgs], axis=0))
 
     results = {"fp_dice": fp_dice, "train_seconds": train_sec,
-               "epochs": args.epochs, "amp": bool(args.amp), "settings": {}}
+               "epochs": args.epochs, "amp": bool(args.amp),
+               "seed": args.seed, "settings": {}}
     tags = {256: "W8A8", 16: "W4A4", 4: "W2A2"}
     for qlvl in (int(x) for x in args.settings.split(",")):
         tag = tags.get(qlvl, f"q{qlvl}")
