@@ -148,3 +148,26 @@ def test_foreign_zip_rejected(tmp_path):
         z.writestr(export_mod.MANIFEST_NAME, json.dumps({"format": "x/9"}))
     with pytest.raises(ValueError, match="not a serving artifact"):
         export_mod.load_serving_artifact(path)
+
+
+def test_bf16_artifact_close_to_f32(tiny_qnet, tmp_path):
+    """--serve_dtype bf16 baked into the export (compute_dtype): the
+    deserialized module's logits are bf16-rounded but close, and the
+    manifest records the dtype for the serving client."""
+    fg, fv = tiny_qnet
+    exported, batch = export_mod.export_patch_model(
+        fg, fv, (8, 8, 8), 2, mode="quantized",
+        compute_dtype=jnp.bfloat16)
+    path = str(tmp_path / "art_bf16.zip")
+    export_mod.save_serving_artifact(path, exported, {
+        "batch": batch, "patch_size": [8, 8, 8], "n_mod": 2, "n_class": 3,
+        "serve_dtype": "bf16"})
+    art = export_mod.load_serving_artifact(path)
+    assert art.manifest["serve_dtype"] == "bf16"
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 8, 8, 8, 2)
+                    .astype(np.float32))
+    ref = nnir.apply(fg, fv, x, mode="quantized")[-1:]
+    got = art.patch_model_fn()(x)
+    d = float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32) - ref)))
+    scale = float(jnp.std(ref))
+    assert 0 < d < 0.1 * scale + 0.05, (d, scale)
