@@ -101,7 +101,7 @@ def main():
                                            s2d_stem_serving,
                                            to_int8_inference)
 
-    def make_infer(g, v, n_vols=1):
+    def make_infer(g, v, n_vols=1, grid="patch"):
         # serving tail rewrite: final head only, emitted NCDHW so the
         # head conv / trilinear up / stitch run with W on the vector lanes
         # instead of a C=3 minor dim that tiles at ~42x its logical bytes
@@ -114,7 +114,7 @@ def main():
         # toolchain (docs/kernels.md), so the default serving path keeps
         # the direct conv.
         extract_fn = None
-        if os.environ.get("EFFQ_S2D_STEM") == "1":
+        if os.environ.get("EFFQ_S2D_STEM") == "1" and grid == "patch":
             # geometry check BEFORE the graph rewrite: a rewritten graph fed
             # with un-transformed patches would tuple-unpack the batch axis
             # (review r3) — when unsupported, keep the original graph
@@ -128,8 +128,27 @@ def main():
                 if stem is not None:
                     extract_fn = extract_s2d_patches
 
+        # full-depth column serving (--serve_grid column): pad D to the
+        # net's stride multiple and serve 4 (160, 128, 128) columns — the
+        # reference D grid (starts {0, 27}) recomputes 101 of 155 planes;
+        # a v5e has the HBM to hold the full-depth activations instead
+        # (eval/sliding.py::column_grid_plan; +21% measured)
+        g_patch, g_overlap, np_grid = patch, overlap, n_patches
+        if grid == "column":
+            from efficientq_tpu.eval.sliding import column_grid_plan
+            from efficientq_tpu.models.uresq import min_input_divisor
+
+            pad_d, g_patch, g_overlap = column_grid_plan(
+                vol_shape, patch, overlap, min_input_divisor(cfg)[0])
+            np_grid = len(patch_grid((pad_d,) + vol_shape[1:], g_patch,
+                                     g_overlap))
+
         @jax.jit
         def infer_volume(v, image):
+            if grid == "column":
+                image = jnp.pad(image, ((0, 0), (0, pad_d - vol_shape[0]),
+                                        (0, 0), (0, 0), (0, 0)))
+
             def model_fn(xb):
                 # bf16 operands / f32 accumulation for the XLA convs: at
                 # 2-bit quantization the bf16 rounding of grid values is
@@ -141,19 +160,21 @@ def main():
                                   compute_dtype=jnp.bfloat16,
                                   keep_head_dtype=True)
 
-            # full 8-patch grid as ONE batched forward: fewest dispatch
+            # full patch grid as ONE batched forward: fewest dispatch
             # round-trips and best MXU utilization (measured sweep up to the
             # full grid).  normalize=False: hard-pred serving is invariant
             # to the positive per-voxel visit count (sigmoid(x) >= 0.5 <=>
             # x >= 0), so the overlap-average division is skipped
-            logits = sliding_window_inference(model_fn, image, patch, overlap,
-                                              patch_batch=n_patches * n_vols,
+            logits = sliding_window_inference(model_fn, image, g_patch,
+                                              g_overlap,
+                                              patch_batch=np_grid * n_vols,
                                               channels_first=True,
                                               normalize=False,
                                               extract_fn=extract_fn)
+            logits = logits[-1][:, :, :vol_shape[0]]  # crop the column pad
             # end-to-end serving output: hard segmentation (uint8), so the
             # timed loop can materialize each result on the host cheaply
-            return pred_brats_con_merge(logits[-1], axis=1).astype(jnp.uint8)
+            return pred_brats_con_merge(logits, axis=1).astype(jnp.uint8)
 
         return jax.tree_util.Partial(infer_volume, v)
 
@@ -199,6 +220,15 @@ def main():
     assert segm.shape == (1, *vol_shape)
     mixed_sync_vps = time_sync(infer_mixed)
     mixed_async_vps = time_async(infer_mixed)
+
+    # full-depth column serving on the fastest variant (mixed): 4 columns
+    # instead of 8 cubes — no D-overlap recompute, half the extraction /
+    # stitch work (column_grid_plan)
+    infer_mixed_col = make_infer(mgraph, mvars, grid="column")
+    segc = np.asarray(infer_mixed_col(vj))
+    assert segc.shape == (1, *vol_shape)
+    col_sync_vps = time_sync(infer_mixed_col)
+    col_async_vps = time_async(infer_mixed_col)
 
     # cross-volume batching: the patch grids of 3 volumes as ONE 24-patch
     # forward (sliding_window_inference stitches N>1 natively; the
@@ -262,7 +292,8 @@ def main():
     # we record WHICH variant produced it so cross-round BENCH numbers stay
     # comparable (advisor r2)
     sync_variants = {"bf16_sync": sync_vps, "int8_pallas_sync": int8_sync_vps,
-                     "mixed_int8_3x3_sync": mixed_sync_vps}
+                     "mixed_int8_3x3_sync": mixed_sync_vps,
+                     "mixed_column_sync": col_sync_vps}
     headline_variant = max(sync_variants, key=sync_variants.get)
     tpu_volumes_per_sec = sync_variants[headline_variant]
 
@@ -301,6 +332,13 @@ def main():
         return total
 
     flops_volume = graph_flops(fgraph, n_patches, patch)
+    from efficientq_tpu.eval.sliding import column_grid_plan
+    from efficientq_tpu.models.uresq import min_input_divisor
+
+    pad_d, col_patch, col_ov = column_grid_plan(vol_shape, patch, overlap,
+                                                min_input_divisor(cfg)[0])
+    n_cols = len(patch_grid((pad_d,) + vol_shape[1:], col_patch, col_ov))
+    flops_column = graph_flops(fgraph, n_cols, col_patch)
     # v5e peak: 197 TFLOP/s bf16, 394 TOP/s int8 (public spec); MFU is
     # reported against the bf16 peak for every variant — the int8 variants'
     # headroom to the 2x int8 peak is part of the story
@@ -309,6 +347,9 @@ def main():
         "bf16_async": flops_volume * async_vps / PEAK_BF16,
         "int8_pallas_async": flops_volume * int8_async_vps / PEAK_BF16,
         "mixed_int8_3x3_async": flops_volume * mixed_async_vps / PEAK_BF16,
+        # column serving runs FEWER flops per volume (no D-overlap
+        # recompute) — its MFU uses its own flop count
+        "mixed_column_async": flops_column * col_async_vps / PEAK_BF16,
     }
 
     # torch CPU FP32 baseline: one 128^3 patch through the same graph,
@@ -320,12 +361,19 @@ def main():
     torch_reference_forward(fgraph, fvars, x_ncdhw)
     cpu_patch_sec = time.perf_counter() - t0
     cpu_volumes_per_sec = 1.0 / (cpu_patch_sec * n_patches)
+    # grid-matched CPU extrapolation for the column variant (conv-flop
+    # proportional): a CPU column run also skips the D-overlap recompute,
+    # so vs_baseline stays apples-to-apples per grid
+    cpu_col_volumes_per_sec = cpu_volumes_per_sec * flops_volume / flops_column
 
     print(json.dumps({
         "metric": "brats_w4a4_whole_volume_sliding_window_inference",
         "value": round(tpu_volumes_per_sec, 4),
         "unit": "volumes/sec",
-        "vs_baseline": round(tpu_volumes_per_sec / cpu_volumes_per_sec, 2),
+        "vs_baseline": round(tpu_volumes_per_sec /
+                             (cpu_col_volumes_per_sec
+                              if headline_variant == "mixed_column_sync"
+                              else cpu_volumes_per_sec), 2),
         "headline_variant": headline_variant,
         "conv_tflops_per_volume": round(flops_volume / 1e12, 3),
         "mfu_vs_bf16_peak": {k: round(v, 4) for k, v in mfu.items()},
@@ -336,6 +384,8 @@ def main():
             "int8_pallas_async": round(int8_async_vps, 4),
             "mixed_int8_3x3_sync": round(mixed_sync_vps, 4),
             "mixed_int8_3x3_async": round(mixed_async_vps, 4),
+            "mixed_column_sync": round(col_sync_vps, 4),
+            "mixed_column_async": round(col_async_vps, 4),
             "mixed_int8_3x3_async_3vol_batch": round(mixed_async3_vps, 4),
             **({"artifact_async": round(artifact_async_vps, 4),
                 "live_jit_async": round(live_jit_async_vps, 4)}

@@ -215,6 +215,16 @@ def build_parser() -> argparse.ArgumentParser:
     # reference-exact eval numerics
     parser.add_argument("--serve_dtype", default="f32",
                         choices=("f32", "bf16"))
+    # serving grid for the final tests and the infer mission: 'column'
+    # serves full-depth (D, ph, pw) columns instead of the reference's
+    # overlapped D-patch grid — on BraTS the D overlap (patch 128 over
+    # D=155, starts {0,27}) recomputes 101 of 155 planes, and a TPU has
+    # the HBM to skip that (+21% serving throughput, eval/sliding.py::
+    # column_grid_plan).  Opt-in: full-depth activations of unbounded-D
+    # tasks (LiTS) can exceed HBM, and D-boundary voxels see more context
+    # than the reference grid (>99.9% voxel agreement on the flagship).
+    parser.add_argument("--serve_grid", default="patch",
+                        choices=("patch", "column"))
     return parser
 
 

@@ -15,6 +15,7 @@ from .. import nnir, ops
 from ..data.transforms import center_crop
 from ..eval.validate import validate_seg
 from ..models import build_uresq, torch_io, validate_spatial_shape
+from ..models.uresq import min_input_divisor
 from ..ptq import run_ptq
 from ..quant import pack_int_weight
 from ..train import Trainer
@@ -43,15 +44,23 @@ def _make_dp_mesh(args, check_batch: bool = False):
 
 
 def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
-                mode="fp", mesh=None, artifact=None):
+                mode="fp", mesh=None, artifact=None, stride_div=None):
     """validate_final + optional inference_final equivalent: per-split
     metric files, then label-free true-test export (trainer.py:253-307).
     With ``artifact`` the forward runs from the serialized serving module
-    (export.py) and graph/variables may be None."""
+    (export.py) and graph/variables may be None.
+
+    ``stride_div``: the net's D-stride multiple (min_input_divisor) —
+    required when --serve_grid column pads full-depth serving columns."""
     os.makedirs(save_dir, exist_ok=True)
     is_cc = bool(getattr(args, "is_cc", False))
     serve_dtype = (jnp.bfloat16
                    if getattr(args, "serve_dtype", "f32") == "bf16" else None)
+    serve_grid = getattr(args, "serve_grid", "patch")
+    if serve_grid == "column" and stride_div is None:
+        raise ValueError("--serve_grid column is not available for this "
+                         "mission path (no model config to derive the "
+                         "stride multiple from)")
     for split, loader, sns in (("val", hub.valloader, hub.val_sn),
                                ("test", hub.testloader, hub.test_sn)):
         if loader is None:
@@ -69,7 +78,8 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                           restore_infokw=hub.restore_infokw,
                           merge_label_func=hub.merge_label_func,
                           multilabel_fusetype=hub.multilabel_fusetype,
-                          compute_dtype=serve_dtype)
+                          compute_dtype=serve_dtype,
+                          serve_grid=serve_grid, stride_div=stride_div)
         with open(P.join(save_dir, f"{split}_seg.txt"), "w") as f:
             for i in range(-1, -num_mo - 1, -1):
                 sm[i].write_metric(f, "Output %d:" % i, is_indiv=True)
@@ -82,7 +92,8 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                             patch_batch=getattr(args, "patch_batch", 0)
                             or "auto", artifact=artifact,
                             multilabel_fusetype=hub.multilabel_fusetype,
-                            compute_dtype=serve_dtype)
+                            compute_dtype=serve_dtype,
+                            serve_grid=serve_grid, stride_div=stride_div)
 
 
 def train_fp(args):
@@ -146,12 +157,14 @@ def train_fp(args):
         if _exists(best):
             trainer.load_pretrain(best)
             _final_test(graph, trainer.variables, hub, n_mo, nClass,
-                        P.join(snap_root, "seg_max"), args)
+                        P.join(snap_root, "seg_max"), args,
+                        stride_div=min_input_divisor(cfg)[0])
         last = P.join(snap_root, "state_%04d%s" % (args.max_epoch, ext))
         if _exists(last):
             trainer.load_pretrain(last)
             _final_test(graph, trainer.variables, hub, n_mo, nClass,
-                        P.join(snap_root, "seg_%04d" % args.max_epoch), args)
+                        P.join(snap_root, "seg_%04d" % args.max_epoch), args,
+                        stride_div=min_input_divisor(cfg)[0])
     return snap_root
 
 
@@ -253,7 +266,7 @@ def ptq(args):
 
         fg, fv = fold_bn(graph, variables)
         _final_test(fg, fv, hub, n_mo, nClass, P.join(snap_dir, "fp"), args,
-                    mesh=mesh)
+                    mesh=mesh, stride_div=min_input_divisor(cfg)[0])
 
     hp = definer.get_lwq_hyperparams(args)
     ptq_kw = dict(
@@ -412,7 +425,8 @@ def ptq(args):
 
     if not args.no_test:
         _final_test(fgraph, qvars, hub, n_mo, nClass, P.join(snap_dir, "ptq"),
-                    args, mode="quantized", mesh=mesh)
+                    args, mode="quantized", mesh=mesh,
+                    stride_div=min_input_divisor(cfg)[0])
 
     _save_quantized(fgraph, qvars, snap_dir)
     if getattr(args, "export_artifact", False):
@@ -518,7 +532,7 @@ def infer(args):
     mesh = _make_dp_mesh(args)
     _final_test(fgraph, fvars, hub, n_mo, nClass,
                 P.join(snap_dir, "infer"), args, mode="quantized",
-                mesh=mesh)
+                mesh=mesh, stride_div=min_input_divisor(cfg)[0])
     return snap_dir
 
 

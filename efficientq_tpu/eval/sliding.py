@@ -157,10 +157,36 @@ def sliding_window_inference(
                           channels_first=channels_first, normalize=normalize)
 
 
+def column_grid_plan(vol_shape, patch_size, overlap, stride_div):
+    """Full-depth column serving plan: (padded D, column patch, overlap).
+
+    The reference's D-axis patch grid on BraTS (patch 128 over D=155,
+    starts {0, 27}) re-computes 101 of 155 planes — the grid covers 1.6x
+    the volume's voxels.  A TPU has the HBM to hold the full-depth
+    activation set, so serving can run 4 (D, 128, 128) columns instead of
+    8 cubes: same H/W grid (and the same 64^2 stage-plane geometry the
+    Pallas kernels are tuned for), no D overlap, half the extraction /
+    stitch updates.  Measured +21% serving throughput on the flagship
+    (scripts/serve_volume_probe.py; predictions agree with the patch grid
+    on >99.9% of voxels — D-boundary voxels see more context).
+
+    D pads up to the net's stride multiple (``stride_div``, from
+    models.uresq.min_input_divisor); H/W keep the reference grid rule.
+    NOT for unbounded-D tasks (a 700-slice LiTS volume's full-depth
+    activations would exceed HBM) — column serving is opt-in per task.
+    """
+    d = vol_shape[0]
+    pd = -(-d // stride_div) * stride_div
+    patch_size = ops.triple(patch_size)
+    overlap = ops.triple(overlap)
+    return pd, (pd, patch_size[1], patch_size[2]), (0, overlap[1], overlap[2])
+
+
 def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
                                   precision=None, heads=None,
                                   hard_pred=False, multilabel=False,
-                                  compute_dtype=None):
+                                  compute_dtype=None, serve_grid="patch",
+                                  stride_div=None):
     """Returns infer(variables, image, patch_size, overlap) jitted per
     (volume shape, patch size) signature.  ``heads``: see
     sliding_window_inference.
@@ -170,8 +196,19 @@ def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
     sigmoid(x) >= 0.5 <=> x >= 0, same rule as serving's
     pred_brats_con_merge), else (M, N, D, H, W) argmax class ids.  The
     host transfer shrinks 4x (multilabel) / 4*C x (argmax) vs f32 logits;
-    SegMetricMC.evaluate_append_pred consumes the result directly."""
+    SegMetricMC.evaluate_append_pred consumes the result directly.
+
+    ``serve_grid='column'``: full-depth column serving (column_grid_plan);
+    requires ``stride_div`` (models.uresq.min_input_divisor's D entry).
+    The returned predictions cover the ORIGINAL volume shape — the D pad
+    is cropped off after the stitch."""
     from .. import nnir
+
+    if serve_grid not in ("patch", "column"):
+        raise ValueError(f"unknown serve_grid {serve_grid!r}")
+    if serve_grid == "column" and not stride_div:
+        raise ValueError("serve_grid='column' needs stride_div "
+                         "(models.uresq.min_input_divisor)")
 
     # hard-pred serving keeps the head at compute_dtype through the
     # stitch/argmax tail (the full-volume canvas traffic halves); the
@@ -180,6 +217,13 @@ def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
 
     @partial(jax.jit, static_argnames=("patch_size", "overlap"))
     def infer(variables, image, patch_size, overlap):
+        d = image.shape[1]
+        if serve_grid == "column":
+            pd, patch_size, overlap = column_grid_plan(
+                image.shape[1:4], patch_size, overlap, stride_div)
+            image = jnp.pad(image, ((0, 0), (0, pd - d), (0, 0), (0, 0),
+                                    (0, 0)))
+
         def model_fn(xb):
             return nnir.apply(graph, variables, xb, mode=mode,
                               precision=precision,
@@ -192,6 +236,7 @@ def make_jitted_volume_inferencer(graph, patch_batch=4, mode="fp",
         out = sliding_window_inference(model_fn, image, patch_size, overlap,
                                        patch_batch, heads=heads,
                                        normalize=not hard_pred)
+        out = out[:, :, :d]  # crop the column-mode D pad (no-op for patch)
         if hard_pred:
             if multilabel:
                 out = (out >= 0).astype(jnp.uint8)

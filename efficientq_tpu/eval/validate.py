@@ -17,7 +17,16 @@ import numpy as np
 
 from .. import ops
 from .metrics import SegMetricMC
-from .sliding import make_jitted_volume_inferencer
+from .sliding import (column_grid_plan, make_jitted_volume_inferencer,
+                      patch_grid)
+
+
+def _column_count(x, patch_size, overlap, stride_div):
+    """Number of full-depth columns for a volume (the column-mode
+    patch_batch: every column in one forward)."""
+    pd, cp, co = column_grid_plan(x.shape[1:4], patch_size, overlap,
+                                  stride_div)
+    return len(patch_grid((pd,) + tuple(x.shape[2:4]), cp, co)) * x.shape[0]
 
 
 def validate_seg(
@@ -44,6 +53,8 @@ def validate_seg(
     artifact=None,
     infer=None,
     compute_dtype=None,
+    serve_grid="patch",
+    stride_div=None,
 ) -> List[SegMetricMC]:
     """Evaluate on a loader of (N, C, D, H, W) numpy batches.
 
@@ -72,6 +83,11 @@ def validate_seg(
         if num_mo != 1:
             raise ValueError("serving artifacts emit the final head only; "
                              "pass num_mo=1")
+    if serve_grid == "column" and (artifact is not None or mesh is not None):
+        # the artifact's patch shape is pre-lowered and the mesh maker
+        # shards the reference patch grid — both are patch-grid-only
+        raise ValueError("--serve_grid column does not compose with "
+                         "--artifact or --dp_devices serving")
     sm = [SegMetricMC(n_class, sn_list, is_cc=is_cc) for _ in range(num_mo)]
     multilabel = None  # set from the first batch's label rank
 
@@ -133,16 +149,25 @@ def validate_seg(
             else:
                 pb = patch_batch
                 if pb == "auto":
-                    from .autotune import choose_patch_batch
+                    if serve_grid == "column":
+                        # all columns in one forward (the measured-best
+                        # batching — scripts/serve_volume_probe.py); the
+                        # patch-grid autotuner's sweep doesn't apply
+                        pb = _column_count(x, patch_size, overlap,
+                                           stride_div)
+                    else:
+                        from .autotune import choose_patch_batch
 
-                    pb = choose_patch_batch(graph, variables, x, patch_size,
-                                            overlap, mode=mode,
-                                            precision=precision,
-                                            compute_dtype=compute_dtype)
+                        pb = choose_patch_batch(graph, variables, x,
+                                                patch_size, overlap,
+                                                mode=mode,
+                                                precision=precision,
+                                                compute_dtype=compute_dtype)
                 infer = make_jitted_volume_inferencer(
                     graph, patch_batch=pb, mode=mode, precision=precision,
                     hard_pred=True, multilabel=multilabel,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, serve_grid=serve_grid,
+                    stride_div=stride_div)
         preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
                           tuple(ops.triple(overlap)))
         if pending is not None:
@@ -178,13 +203,17 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
               overlap, sn_fn_dict=None, suffix="_seg", mode="fp",
               restore_shape_func=None, restore_infokw=None,
               merge_label_func=None, multilabel_fusetype=None,
-              patch_batch="auto", artifact=None, compute_dtype=None):
+              patch_batch="auto", artifact=None, compute_dtype=None,
+              serve_grid="patch", stride_div=None):
     """Label-free inference + NIfTI export (validate.py:266-303).  With
     ``artifact`` (export.ServingArtifact) the forward runs from the
     serialized module; graph/variables may be None."""
     if not save_dir:
         print("No save directory specified for final true test inference!")
         return
+    if serve_grid == "column" and artifact is not None:
+        raise ValueError("--serve_grid column does not compose with "
+                         "--artifact serving")
     os.makedirs(save_dir, exist_ok=True)
     infer = None
     sn_counter = -1
@@ -217,19 +246,25 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
             else:
                 pb = patch_batch
                 if pb == "auto":
-                    from .autotune import choose_patch_batch
+                    if serve_grid == "column":
+                        pb = _column_count(x, patch_size, overlap,
+                                           stride_div)
+                    else:
+                        from .autotune import choose_patch_batch
 
-                    pb = choose_patch_batch(graph, variables, x, patch_size,
-                                            overlap, mode=mode,
-                                            heads=final_head,
-                                            compute_dtype=compute_dtype)
+                        pb = choose_patch_batch(graph, variables, x,
+                                                patch_size, overlap,
+                                                mode=mode, heads=final_head,
+                                                compute_dtype=compute_dtype)
                 infer = make_jitted_volume_inferencer(graph, patch_batch=pb,
                                                       mode=mode,
                                                       heads=final_head,
                                                       hard_pred=True,
                                                       multilabel=multilabel,
                                                       compute_dtype=
-                                                      compute_dtype)
+                                                      compute_dtype,
+                                                      serve_grid=serve_grid,
+                                                      stride_div=stride_div)
         preds_dev = infer(variables, x, tuple(ops.triple(patch_size)),
                           tuple(ops.triple(overlap)))
         if pending is not None:
@@ -241,7 +276,8 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
 
 def true_test_inference(graph, variables, data, save_dir, mode="fp",
                         patch_batch="auto", multilabel_fusetype=None,
-                        artifact=None, compute_dtype=None):
+                        artifact=None, compute_dtype=None,
+                        serve_grid="patch", stride_div=None):
     """Label-free export of the true-test split — the reference's
     ``inference_final`` (trainer.py:253-270,307; suffix '' as trainer.test
     passes it).  Shared by the mission driver and the Tester."""
@@ -258,7 +294,8 @@ def true_test_inference(graph, variables, data, save_dir, mode="fp",
               restore_infokw=data.restore_infokw,
               merge_label_func=data.merge_label_func,
               multilabel_fusetype=multilabel_fusetype, artifact=artifact,
-              compute_dtype=compute_dtype)
+              compute_dtype=compute_dtype, serve_grid=serve_grid,
+              stride_div=stride_div)
 
 
 def restore_crop(crop, pmin, pmax, shape):

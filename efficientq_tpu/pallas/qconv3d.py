@@ -245,6 +245,16 @@ def qconv3x3_int8_ndhwc(
                 tz = t
                 break
 
+    if est_vmem(1, 0) > 12 * 1024 * 1024:
+        # plane too large for one program even at tz=1 (e.g. 128x128 planes
+        # of a whole-volume 256^2 serving pass): run the same integer conv
+        # + epilogues through XLA instead of dying in the Mosaic allocator.
+        # H/W-splitting the plane would need 1-row halos that BlockSpec
+        # offsets (block-granular) cannot express.
+        return _xla_qconv3x3(qa, w_codes, bias, scale, dil, out_dtype,
+                             residual, residual_relu, qalpha, quant_qlvl,
+                             pool)
+
     if pool and (d % 2 or h % 2 or w_sp % 2):
         # pooling needs even dims (tz=1 pairs planes ACROSS programs via
         # the revisited output block); otherwise conv then pool in XLA
@@ -315,6 +325,29 @@ def qconv3x3_int8_ndhwc(
         interpret=interpret,
     )(scale1, *([qa] * (tz + 2 * dil)), *res_arg, w_mat, sb)
     return tuple(out) if pool else out
+
+
+def _xla_qconv3x3(qa, w_codes, bias, scale, dil, out_dtype, residual,
+                  residual_relu, qalpha, quant_qlvl, pool):
+    """XLA realization of the kernel's exact semantics (integer conv +
+    scale/bias + residual/quant/pool epilogues) for geometries whose planes
+    exceed the per-program VMEM budget.  Same math, same dtypes — the
+    pallas_call is an optimization, never a requirement."""
+    from .. import ops
+
+    y = ops.conv3d(qa, w_codes, None, (1, 1, 1), (dil, dil, dil),
+                   (dil, dil, dil), 1, preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * jnp.asarray(scale, jnp.float32) + bias
+    if residual is not None:
+        r = residual.astype(jnp.float32)
+        if residual_relu:
+            r = jnp.maximum(r, 0.0)
+        y = y + r
+    if quant_qlvl:
+        q = jnp.clip(y / qalpha, 0.0, 1.0) * (quant_qlvl - 1)
+        return jnp.round(q).astype(jnp.int8)
+    y = y.astype(out_dtype)
+    return (y, _xla_maxpool2(y)) if pool else y
 
 
 def _xla_maxpool2(y: jax.Array) -> jax.Array:

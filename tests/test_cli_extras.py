@@ -41,7 +41,9 @@ def test_ptq_with_test_fp(workdir, monkeypatch):
         split_dir, "--round", "1", "--pretrain", ckpt, "--patch_size",
         "8,8,8", "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
         "--lwq_patchsz", "16,16,16", "--lwq_iter", "3", "--test_fp",
-        "--no_test", *TINY,
+        # column serving through the mission surface: full-depth columns
+        # (stride_div derived from the model config in missions.py)
+        "--serve_grid", "column", "--no_test", *TINY,
     ])
     # --test_fp evaluates the FP model before quantization (ptqer.py:309-310)
     assert P.isfile(P.join(snap_ptq, "fp", "val_seg.txt"))

@@ -349,3 +349,51 @@ def test_pool_epilogue_graph_rewrite_and_parity():
     got = nnir.apply(igf, ivf, x, mode="quantized",
                      precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_vmem_guard_falls_back_to_xla_semantics():
+    """Geometries whose planes exceed the per-program VMEM budget (e.g. the
+    128^2-plane stages of a whole-volume serving pass) must route to the
+    XLA realization with identical semantics — including the residual /
+    quant / pool epilogues — instead of dying in the Mosaic allocator."""
+    from efficientq_tpu.pallas.qconv3d import _xla_maxpool2, qconv3x3_int8_ndhwc
+
+    rng = np.random.RandomState(3)
+    # h*w*pad128(c)*2*3 = 12.58 MB > the 12 MB tz=1 budget -> XLA fallback
+    n, d, h, w, c, o = 1, 4, 128, 128, 8, 6
+    x = jnp.asarray(np.abs(rng.randn(n, d, h, w, c)).astype(np.float32))
+    codes = jnp.asarray(
+        rng.randint(-3, 4, size=(3, 3, 3, c, o)).astype(np.int8))
+    b = jnp.asarray(rng.randn(o).astype(np.float32))
+    na, alpha, scale = 4, 0.8, 0.21
+    qa = jnp.round(jnp.clip(x / alpha, 0, 1) * (na - 1)).astype(jnp.int8)
+    ref = ops.conv3d(qa, codes, None, (1, 1, 1), (1, 1, 1), (1, 1, 1), 1,
+                     preferred_element_type=jnp.int32)
+    ref = ref.astype(jnp.float32) * scale + b
+
+    got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+    # residual(+relu) epilogue
+    r = jnp.asarray(rng.randn(n, d, h, w, o).astype(np.float32))
+    got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na, interpret=True,
+                              residual=r, residual_relu=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref + jnp.maximum(r, 0)),
+                               atol=1e-4, rtol=1e-4)
+
+    # next-layer act-quant epilogue
+    got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na, interpret=True,
+                              quant_alpha=0.5, quant_qlvl=4)
+    want = jnp.round(jnp.clip(ref / 0.5, 0, 1) * 3).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # pool epilogue: (y, maxpool2(y))
+    y, yp = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
+                                interpret=True, pool=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(yp),
+                               np.asarray(_xla_maxpool2(jnp.asarray(ref))),
+                               atol=1e-4, rtol=1e-4)
