@@ -41,15 +41,13 @@ def _device_watchdog(timeout_s: float = 180.0):
             "value": 0.0, "unit": "volumes/sec", "vs_baseline": 0.0,
             "error": f"device backend unreachable after {timeout_s:.0f}s "
                      "(TPU tunnel outage) — no measurement taken",
-            # the most recent hardware measurement (BASELINE.md, r3 chip
-            # run before the outage of 2026-08-17 ~21:00 UTC) so the round
-            # record is not empty; clearly NOT a fresh number
+            # the most recent hardware measurement (BENCH_r03.json) so the
+            # round record is not empty; clearly NOT a fresh number
             "last_measured_hw": {
-                "int8_async_vol_per_s": 20.5, "mixed_async_vol_per_s": 20.7,
-                "bf16_async_vol_per_s": 16.9,
-                "int8_device_ms_per_volume": 42.5,
-                "note": "relu-elision + bf16-emit changes landed after "
-                        "this measurement are unbenchmarked",
+                "int8_async_vol_per_s": 23.7, "mixed_async_vol_per_s": 24.6,
+                "bf16_async_vol_per_s": 20.7,
+                "mixed_column_async_vol_per_s": 29.1,
+                "device_ms_per_volume": 33.7,
             },
         }))
         sys.exit(0)
@@ -288,14 +286,38 @@ def main():
     except Exception as e:  # pragma: no cover - hardware-path guard
         print(f"# artifact probe skipped: {e!r}", file=sys.stderr)
 
-    # headline stays pinned to the best *synchronous* serving variant, and
-    # we record WHICH variant produced it so cross-round BENCH numbers stay
-    # comparable (advisor r2)
-    sync_variants = {"bf16_sync": sync_vps, "int8_pallas_sync": int8_sync_vps,
-                     "mixed_int8_3x3_sync": mixed_sync_vps,
-                     "mixed_column_sync": col_sync_vps}
-    headline_variant = max(sync_variants, key=sync_variants.get)
-    tpu_volumes_per_sec = sync_variants[headline_variant]
+    # Headline policy (VERDICT r3 item 2 + advisor r3): the durable number is
+    # DEVICE throughput, not tunnel-bound synchronous dispatch — sync vol/s
+    # "dropped" 4.40->3.62 across r2->r3 on tunnel RTT noise alone while the
+    # device improved 38.7->33.7 ms/volume.  The headline is therefore the
+    # best *pipelined* (async) variant among the REFERENCE-PARITY patch-grid
+    # variants (the column grid changes what the metric measures — advisor
+    # r3 finding 5 — so it is reported separately below), plus the xplane
+    # device_ms_per_volume of that winner.  Sync variants remain as a
+    # tunnel-health diagnostic only.
+    async_variants = {"bf16_async": (async_vps, infer_bf16),
+                      "int8_pallas_async": (int8_async_vps, infer_int8),
+                      "mixed_int8_3x3_async": (mixed_async_vps, infer_mixed)}
+    headline_variant = max(async_variants, key=lambda k: async_variants[k][0])
+    tpu_volumes_per_sec, headline_infer = async_variants[headline_variant]
+
+    # xplane device time of the headline variant: the tunnel-independent
+    # ground truth (same extraction as scripts/profile_serving.py)
+    device_ms_per_volume = None
+    try:
+        import tempfile
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.profile_serving import top_device_ops
+
+        logdir = tempfile.mkdtemp(prefix="effq_bench_prof_")
+        with jax.profiler.trace(logdir):
+            outs = [headline_infer(vj) for _ in range(iters)]
+            jax.block_until_ready(outs)
+        _, total_ms = top_device_ops(logdir)
+        device_ms_per_volume = total_ms / iters
+    except Exception as e:  # pragma: no cover - profiler-path guard
+        print(f"# xplane device-time probe skipped: {e!r}", file=sys.stderr)
 
     # FLOP accounting for MFU/roofline (VERDICT r2 item 9): conv MACs of
     # the whole patch-grid volume forward (2x2x2 = 8 patches at this
@@ -362,34 +384,51 @@ def main():
     cpu_patch_sec = time.perf_counter() - t0
     cpu_volumes_per_sec = 1.0 / (cpu_patch_sec * n_patches)
     # grid-matched CPU extrapolation for the column variant (conv-flop
-    # proportional): a CPU column run also skips the D-overlap recompute,
-    # so vs_baseline stays apples-to-apples per grid
+    # proportional; labeled "extrapolated" — CPU time is not purely
+    # conv-flop-proportional, advisor r3): a CPU column run also skips the
+    # D-overlap recompute, so the column speedup stays apples-to-apples
+    # per grid, but it is an estimate, not a measurement
     cpu_col_volumes_per_sec = cpu_volumes_per_sec * flops_volume / flops_column
 
     print(json.dumps({
         "metric": "brats_w4a4_whole_volume_sliding_window_inference",
         "value": round(tpu_volumes_per_sec, 4),
         "unit": "volumes/sec",
-        "vs_baseline": round(tpu_volumes_per_sec /
-                             (cpu_col_volumes_per_sec
-                              if headline_variant == "mixed_column_sync"
-                              else cpu_volumes_per_sec), 2),
+        "vs_baseline": round(tpu_volumes_per_sec / cpu_volumes_per_sec, 2),
         "headline_variant": headline_variant,
+        # tunnel-independent ground truth for the headline variant (xplane
+        # device-plane total / volume); the number to compare across rounds
+        "device_ms_per_volume": (round(device_ms_per_volume, 2)
+                                 if device_ms_per_volume else None),
+        # flop counts for BOTH serving grids (advisor r3): the headline
+        # variants run the reference-parity patch grid (flops_volume); the
+        # column variants run flops_column (~37% fewer, no D-recompute)
         "conv_tflops_per_volume": round(flops_volume / 1e12, 3),
+        "conv_tflops_per_volume_column_grid": round(flops_column / 1e12, 3),
         "mfu_vs_bf16_peak": {k: round(v, 4) for k, v in mfu.items()},
+        # column serving: faster end-to-end but NOT grid-parity with the
+        # reference (>99.9% voxel agreement, not exact) — reported beside
+        # the headline, never as it; its baseline ratio is extrapolated
+        "column_async_volumes_per_sec": round(col_async_vps, 4),
+        "column_vs_baseline_extrapolated": round(
+            col_async_vps / cpu_col_volumes_per_sec, 2),
         "variants": {
-            "bf16_sync": round(sync_vps, 4),
             "bf16_async": round(async_vps, 4),
-            "int8_pallas_sync": round(int8_sync_vps, 4),
             "int8_pallas_async": round(int8_async_vps, 4),
-            "mixed_int8_3x3_sync": round(mixed_sync_vps, 4),
             "mixed_int8_3x3_async": round(mixed_async_vps, 4),
-            "mixed_column_sync": round(col_sync_vps, 4),
             "mixed_column_async": round(col_async_vps, 4),
             "mixed_int8_3x3_async_3vol_batch": round(mixed_async3_vps, 4),
             **({"artifact_async": round(artifact_async_vps, 4),
                 "live_jit_async": round(live_jit_async_vps, 4)}
                if artifact_async_vps else {}),
+        },
+        # synchronous per-volume dispatch: dominated by the dev tunnel's
+        # per-call RTT, kept ONLY as a tunnel-health diagnostic
+        "tunnel_diagnostics_sync": {
+            "bf16_sync": round(sync_vps, 4),
+            "int8_pallas_sync": round(int8_sync_vps, 4),
+            "mixed_int8_3x3_sync": round(mixed_sync_vps, 4),
+            "mixed_column_sync": round(col_sync_vps, 4),
         },
     }))
 

@@ -171,6 +171,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--patch_batch", type=int, default=0,
                         help="patches per eval forward; 0 = measured "
                              "auto-tune per geometry (eval/autotune.py)")
+    parser.add_argument("--tune_serving", default="auto",
+                        choices=("off", "auto", "force"),
+                        help="serving patch_batch autotuner policy when "
+                             "--patch_batch 0: 'auto' sweeps once per "
+                             "geometry and caches on disk, 'force' "
+                             "re-sweeps ignoring the cache, 'off' uses a "
+                             "deterministic min(grid, 8) with no timing "
+                             "sweep (no first-eval compile stall)")
     # serving path for the infer mission: 'none' = fake-quant eval graph,
     # 'int8' = every eligible qconv through the int8 deployment rewrite
     # (fused Pallas kernels on TPU), 'mixed' = int8 for the 3^3 convs only

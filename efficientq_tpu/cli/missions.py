@@ -71,6 +71,8 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                           overlap=hub.slide_overlap, mode=mode,
                           patch_batch=getattr(args, "patch_batch", 0)
                           or "auto",
+                          tune_serving=getattr(args, "tune_serving",
+                                               "auto"),
                           save_dir=nii_dir, is_cc=is_cc, mesh=mesh,
                           artifact=artifact,
                           sn_fn_dict=hub.sn_to_fn_map,
@@ -91,6 +93,8 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                             P.join(save_dir, "true_test"), mode=mode,
                             patch_batch=getattr(args, "patch_batch", 0)
                             or "auto", artifact=artifact,
+                            tune_serving=getattr(args, "tune_serving",
+                                                 "auto"),
                             multilabel_fusetype=hub.multilabel_fusetype,
                             compute_dtype=serve_dtype,
                             serve_grid=serve_grid, stride_div=stride_div)

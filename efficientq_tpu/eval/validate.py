@@ -55,6 +55,7 @@ def validate_seg(
     compute_dtype=None,
     serve_grid="patch",
     stride_div=None,
+    tune_serving="auto",
 ) -> List[SegMetricMC]:
     """Evaluate on a loader of (N, C, D, H, W) numpy batches.
 
@@ -88,6 +89,12 @@ def validate_seg(
         # shards the reference patch grid — both are patch-grid-only
         raise ValueError("--serve_grid column does not compose with "
                          "--artifact or --dp_devices serving")
+    if serve_grid == "column" and not stride_div:
+        # validate before the auto-batch path calls _column_count, which
+        # would otherwise die with a TypeError inside column_grid_plan
+        # (advisor r3); mirrors make_jitted_volume_inferencer's check
+        raise ValueError("serve_grid='column' needs stride_div "
+                         "(models.uresq.min_input_divisor's D entry)")
     sm = [SegMetricMC(n_class, sn_list, is_cc=is_cc) for _ in range(num_mo)]
     multilabel = None  # set from the first batch's label rank
 
@@ -162,7 +169,8 @@ def validate_seg(
                                                 patch_size, overlap,
                                                 mode=mode,
                                                 precision=precision,
-                                                compute_dtype=compute_dtype)
+                                                compute_dtype=compute_dtype,
+                                                tune=tune_serving)
                 infer = make_jitted_volume_inferencer(
                     graph, patch_batch=pb, mode=mode, precision=precision,
                     hard_pred=True, multilabel=multilabel,
@@ -204,7 +212,7 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
               restore_shape_func=None, restore_infokw=None,
               merge_label_func=None, multilabel_fusetype=None,
               patch_batch="auto", artifact=None, compute_dtype=None,
-              serve_grid="patch", stride_div=None):
+              serve_grid="patch", stride_div=None, tune_serving="auto"):
     """Label-free inference + NIfTI export (validate.py:266-303).  With
     ``artifact`` (export.ServingArtifact) the forward runs from the
     serialized module; graph/variables may be None."""
@@ -214,6 +222,9 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
     if serve_grid == "column" and artifact is not None:
         raise ValueError("--serve_grid column does not compose with "
                          "--artifact serving")
+    if serve_grid == "column" and not stride_div:
+        raise ValueError("serve_grid='column' needs stride_div "
+                         "(models.uresq.min_input_divisor's D entry)")
     os.makedirs(save_dir, exist_ok=True)
     infer = None
     sn_counter = -1
@@ -255,7 +266,8 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
                         pb = choose_patch_batch(graph, variables, x,
                                                 patch_size, overlap,
                                                 mode=mode, heads=final_head,
-                                                compute_dtype=compute_dtype)
+                                                compute_dtype=compute_dtype,
+                                                tune=tune_serving)
                 infer = make_jitted_volume_inferencer(graph, patch_batch=pb,
                                                       mode=mode,
                                                       heads=final_head,
@@ -277,7 +289,8 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
 def true_test_inference(graph, variables, data, save_dir, mode="fp",
                         patch_batch="auto", multilabel_fusetype=None,
                         artifact=None, compute_dtype=None,
-                        serve_grid="patch", stride_div=None):
+                        serve_grid="patch", stride_div=None,
+                        tune_serving="auto"):
     """Label-free export of the true-test split — the reference's
     ``inference_final`` (trainer.py:253-270,307; suffix '' as trainer.test
     passes it).  Shared by the mission driver and the Tester."""
@@ -295,7 +308,7 @@ def true_test_inference(graph, variables, data, save_dir, mode="fp",
               merge_label_func=data.merge_label_func,
               multilabel_fusetype=multilabel_fusetype, artifact=artifact,
               compute_dtype=compute_dtype, serve_grid=serve_grid,
-              stride_div=stride_div)
+              stride_div=stride_div, tune_serving=tune_serving)
 
 
 def restore_crop(crop, pmin, pmax, shape):

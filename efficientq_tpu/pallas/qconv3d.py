@@ -146,10 +146,120 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
                                                   yp).astype(out_dtype)
 
 
+def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
+                         has_res, res_relu, quant_qlvl, pool, O):
+    """Ring-accumulator variant (dil=1): ONE program per INPUT plane.
+
+    The plane-per-output formulation wastes the MXU's N dimension on
+    narrow nets: a (H·W, 3C)×(3C, O) dot at O=32 uses 32 of 128 output
+    lanes, and every input plane is im2col'd + multiplied by up to 3
+    programs.  This kernel instead computes each input plane's partial
+    contribution ONCE, with the three kd taps PACKED INTO N — a single
+    (H·W, 3C)×(3C, 3O) dot per kh tap (N = 96/128 lanes at O=32, 3× the
+    MXU efficiency) — and scatters the three kd slices into a rotating
+    3-slot int32 accumulator held in VMEM scratch across the sequential
+    grid.  Output plane z finalizes (scale/bias + epilogues) one program
+    after its last contributing input plane.
+
+    Column packing: the weight matrix is pre-permuted per plane-residue
+    r = u mod 3 (w_ref[r]) so that tap kd's columns land at slot
+    (u + 1 - kd) mod 3 — the accumulate is ONE full-width add, no dynamic
+    lane slicing (Mosaic cannot express that).
+
+    Integer accumulation is exact, so outputs are bit-identical to the
+    plane-per-output kernel and to the XLA integer conv.
+
+    refs = [res_ref], w_ref (3, 3, 3C, 3O), sb_ref, o_ref[, pool_ref],
+    acc_ref (scratch: (H·W, 3O) int32)."""
+    rest = list(refs)
+    res_ref = rest.pop(0) if has_res else None
+    w_ref, sb_ref, o_ref = rest[0], rest[1], rest[2]
+    pool_ref = rest[3] if pool else None
+    acc_ref = rest[-1]
+    zi = pl.program_id(1)
+
+    @pl.when(zi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # 1) accumulate input plane u = zi (when it exists): one padded im2col,
+    #    3 kh dots at N = 3O, one full-width add into the rotating slots
+    for r in range(3):
+        @pl.when((zi < D) & (zi % 3 == r))
+        def _accum(r=r):
+            qa = jnp.pad(plane_ref[0, 0], ((1, 1), (1, 1), (0, 0)))
+            part = None
+            for kh in range(3):
+                cols = jnp.concatenate(
+                    [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
+                     for kw in range(3)], axis=1)
+                d_kh = jnp.dot(cols, w_ref[r, kh],
+                               preferred_element_type=jnp.int32)
+                part = d_kh if part is None else part + d_kh
+            if r == 0:
+                # plane 0's kd=2 tap targets output z = -1 (conv zero
+                # padding): its packed columns (slot 2) must not pollute
+                # the slot that z=2 will reuse.  The symmetric case — the
+                # last plane's kd=0 tap targeting z = D — lands in a slot
+                # that never finalizes again, so it needs no mask.
+                col = jax.lax.broadcasted_iota(jnp.int32, part.shape, 1)
+                part = jnp.where((zi == 0) & (col >= 2 * O), 0, part)
+            acc_ref[...] = acc_ref[...] + part
+
+    # 2) finalize output plane z = zi - 1 (its kd=2 tap was plane zi);
+    #    slot (z mod 3) is complete — epilogue, write, zero for reuse
+    for s in range(3):
+        @pl.when((zi >= 1) & ((zi - 1) % 3 == s))
+        def _finalize(s=s):
+            z = zi - 1
+            acc = acc_ref[:, s * O:(s + 1) * O]
+            y = (acc.astype(jnp.float32) * sb_ref[0]
+                 + sb_ref[1]).reshape(H, W, -1)
+            if has_res:
+                rr = res_ref[0, 0].astype(jnp.float32)
+                if res_relu:
+                    rr = jnp.maximum(rr, 0.0)
+                y = y + rr
+            if quant_qlvl:
+                q = jnp.clip(y / scale_ref[0], 0.0, 1.0) * (quant_qlvl - 1)
+                o_ref[0, 0] = jnp.round(q).astype(jnp.int8)
+            else:
+                o_ref[0, 0] = y.astype(out_dtype)
+            if pool:
+                yp = jnp.max(y.reshape(H // 2, 2, W // 2, 2, -1),
+                             axis=(1, 3))
+
+                @pl.when(z % 2 == 0)
+                def _store():
+                    pool_ref[0, 0] = yp.astype(out_dtype)
+
+                @pl.when(z % 2 != 0)
+                def _merge():
+                    pool_ref[0, 0] = jnp.maximum(pool_ref[0, 0],
+                                                 yp.astype(out_dtype))
+            acc_ref[:, s * O:(s + 1) * O] = jnp.zeros(
+                (H * W, O), jnp.int32)
+
+
+def _ring_weight_perm(w_mat: jax.Array, o: int) -> jax.Array:
+    """(3, 3, 3C, O) per-(kd, kh) im2col weights -> (3, 3, 3C, 3O) packed
+    variants: w_perm[r] places tap kd's columns at slot (r + 1 - kd) % 3,
+    so a plane with residue r scatters its kd partials into the ring
+    accumulator with ONE aligned add."""
+    parts = []
+    for r in range(3):
+        blocks = [None] * 3
+        for kd in range(3):
+            blocks[(r + 1 - kd) % 3] = w_mat[kd]
+        parts.append(jnp.concatenate(blocks, axis=-1))
+    return jnp.stack(parts)
+
+
 @functools.partial(jax.jit, static_argnames=("qlvl_act", "dilation",
                                              "interpret", "out_dtype",
                                              "quant_qlvl", "x_quantized",
-                                             "residual_relu", "pool"))
+                                             "residual_relu", "pool",
+                                             "ring"))
 def qconv3x3_int8_ndhwc(
     x: jax.Array,
     w_codes: jax.Array,
@@ -166,6 +276,7 @@ def qconv3x3_int8_ndhwc(
     x_quantized: bool = False,
     residual_relu: bool = False,
     pool: bool = False,
+    ring: str = "auto",
 ) -> jax.Array:
     """y = conv3d(int8_codes(x), w_codes) * scale + bias, stride 1,
     padding = dilation ('same'), one fused Pallas program per output plane.
@@ -263,6 +374,71 @@ def qconv3x3_int8_ndhwc(
             interpret=interpret, out_dtype=out_dtype, residual=residual,
             x_quantized=x_quantized, residual_relu=residual_relu)
         return y, _xla_maxpool2(y)
+
+    # Ring-accumulator variant (see _qconv3d_ring_kernel): engage where the
+    # kd-packed dot reduces padded MXU work — narrow nets (pad128(3O) <
+    # 3·pad128(O), i.e. O <= 85: 3× at O<=42, 1.5× at O<=64), dil 1, real
+    # planes — and the rotating accumulator fits VMEM.  Bit-exact either
+    # way; 'force'/'off' pin the choice (tests, A/B timing).
+    def est_ring_vmem(rb):
+        return (h * w_sp * _pad128(3 * o) * 4 * 2  # ring acc + dot temp
+                + h * w_sp * _pad128(c) * 2        # raw plane x2
+                + hp * wp * _pad128(c)             # padded copy
+                + h * w_sp * _pad128(3 * c)        # im2col block
+                + h * w_sp * _pad128(o) * 4        # y f32
+                + h * w_sp * _pad128(o) * out_bytes * 2  # out x2
+                + h * w_sp * _pad128(o) * rb * 2         # residual x2
+                + (h * w_sp * _pad128(o) * out_bytes // 2 if pool else 0))
+
+    use_ring = _HAS_PLTPU and dil == 1 and d >= 2 and (
+        ring == "force"
+        or (ring == "auto" and h * w_sp >= 1024
+            and _pad128(3 * o) < 3 * _pad128(o)
+            and est_ring_vmem(res_bytes) < 13 * 1024 * 1024))
+    if use_ring:
+        kernel = functools.partial(_qconv3d_ring_kernel, H=h, W=w_sp, D=d,
+                                   out_dtype=out_dtype,
+                                   has_res=residual is not None,
+                                   res_relu=residual_relu,
+                                   quant_qlvl=quant_qlvl, pool=pool, O=o)
+        res_spec = ([pl.BlockSpec(
+            (1, 1, h, w_sp, o),
+            lambda ni, zi: (ni, jnp.clip(zi - 1, 0, d - 1), 0, 0, 0))]
+            if residual is not None else [])
+        res_arg = [residual] if residual is not None else []
+        out_specs = [pl.BlockSpec(
+            (1, 1, h, w_sp, o),
+            lambda ni, zi: (ni, jnp.maximum(zi - 1, 0), 0, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct(
+            (n, d, h, w_sp, o), jnp.int8 if quant_qlvl else out_dtype)]
+        if pool:
+            # pooled block index (zi-1)//2 stays live across the z-pair's
+            # two programs (sequential grid); odd z max-merges the even row
+            out_specs.append(pl.BlockSpec(
+                (1, 1, h // 2, w_sp // 2, o),
+                lambda ni, zi: (ni, jnp.maximum(zi - 1, 0) // 2, 0, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (n, d // 2, h // 2, w_sp // 2, o), out_dtype))
+        out = pl.pallas_call(
+            kernel,
+            grid=(n, d + 1),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret
+                else pl.BlockSpec((1,), lambda ni, zi: (0,)),
+                pl.BlockSpec((1, 1, h, w_sp, c),
+                             lambda ni, zi: (ni, jnp.clip(zi, 0, d - 1),
+                                             0, 0, 0)),
+                *res_spec,
+                pl.BlockSpec((3, 3, 3 * c, 3 * o),
+                             lambda ni, zi: (0, 0, 0, 0)),
+                pl.BlockSpec((2, o), lambda ni, zi: (0, 0)),
+            ],
+            out_specs=out_specs if pool else out_specs[0],
+            out_shape=out_shape if pool else out_shape[0],
+            scratch_shapes=[pltpu.VMEM((h * w_sp, 3 * o), jnp.int32)],
+            interpret=interpret,
+        )(scale1, qa, *res_arg, _ring_weight_perm(w_mat, o), sb)
+        return tuple(out) if pool else out
 
     if residual is not None and est_vmem(tz, res_bytes) > 12 * 1024 * 1024:
         # residual block doesn't fit VMEM at this geometry (e.g. 64^3

@@ -43,7 +43,10 @@ def test_ptq_with_test_fp(workdir, monkeypatch):
         "--lwq_patchsz", "16,16,16", "--lwq_iter", "3", "--test_fp",
         # column serving through the mission surface: full-depth columns
         # (stride_div derived from the model config in missions.py)
-        "--serve_grid", "column", "--no_test", *TINY,
+        "--serve_grid", "column", "--no_test",
+        # autotuner policy surface (VERDICT r3 item 6): 'off' must parse
+        # and disable the sweep on eval-bearing missions
+        "--tune_serving", "off", *TINY,
     ])
     # --test_fp evaluates the FP model before quantization (ptqer.py:309-310)
     assert P.isfile(P.join(snap_ptq, "fp", "val_seg.txt"))

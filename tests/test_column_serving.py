@@ -100,3 +100,17 @@ def test_validate_seg_rejects_column_with_mesh_or_artifact():
     with pytest.raises(ValueError, match="column"):
         validate_seg(None, None, [], None, 1, 3, patch_size=16, overlap=4,
                      serve_grid="column", stride_div=8, mesh=object())
+
+
+def test_validate_and_inference_reject_column_without_stride_div():
+    """Library callers that pass serve_grid='column' but forget stride_div
+    get a named ValueError up front, not a TypeError from inside
+    column_grid_plan's ceil-division on the auto-batch path (advisor r3)."""
+    from efficientq_tpu.eval.validate import inference, validate_seg
+
+    with pytest.raises(ValueError, match="stride_div"):
+        validate_seg(None, None, [], None, 1, 3, patch_size=16, overlap=4,
+                     serve_grid="column")
+    with pytest.raises(ValueError, match="stride_div"):
+        inference(None, None, [], None, save_dir="/tmp/x",
+                  patch_size=16, overlap=4, serve_grid="column")

@@ -397,3 +397,42 @@ def test_vmem_guard_falls_back_to_xla_semantics():
     np.testing.assert_allclose(np.asarray(yp),
                                np.asarray(_xla_maxpool2(jnp.asarray(ref))),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_qconv3x3_ring_variant_bit_exact():
+    """Ring-accumulator kernel (kd packed into the dot's N dim, rotating
+    VMEM slots across the sequential grid) == the plane-per-output kernel,
+    bit-for-bit, across every epilogue combination, batch > 1 (the
+    accumulator must reset per batch item) and boundary depths."""
+    from efficientq_tpu.pallas.qconv3d import qconv3x3_int8_ndhwc
+
+    rng = np.random.RandomState(21)
+    na, alpha, scale = 4, 0.9, 0.37
+    for n, d, h, w, c, o in ((2, 5, 6, 6, 5, 7),    # batch 2, odd depth
+                             (1, 2, 6, 6, 5, 7),    # minimum depth
+                             (1, 4, 8, 8, 4, 6)):   # pool-compatible dims
+        x = jnp.asarray(np.abs(rng.randn(n, d, h, w, c)).astype(np.float32))
+        codes = jnp.asarray(
+            rng.randint(-3, 4, size=(3, 3, 3, c, o)).astype(np.int8))
+        b = jnp.asarray(rng.randn(o).astype(np.float32))
+        res = jnp.asarray(rng.randn(n, d, h, w, o).astype(np.float32))
+        cases = [dict(), dict(residual=res), dict(residual=res,
+                                                  residual_relu=True),
+                 dict(quant_alpha=1.7, quant_qlvl=8),
+                 dict(out_dtype=jnp.bfloat16),
+                 dict(residual=res.astype(jnp.bfloat16),
+                      out_dtype=jnp.bfloat16)]
+        if d % 2 == 0 and h % 2 == 0 and w % 2 == 0:
+            cases += [dict(pool=True), dict(pool=True, residual=res)]
+        for kw in cases:
+            ref = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
+                                      interpret=True, ring="off", **kw)
+            got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
+                                      interpret=True, ring="force", **kw)
+            if kw.get("pool"):
+                for rr, gg in zip(ref, got):
+                    np.testing.assert_array_equal(np.asarray(gg),
+                                                  np.asarray(rr))
+            else:
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(ref))

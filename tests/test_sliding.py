@@ -97,6 +97,14 @@ def test_choose_patch_batch_cpu_default_and_cache(tmp_path, monkeypatch):
     pb = at.choose_patch_batch(graph, variables, x, (8, 8, 8), (2, 2, 2),
                                default=3)
     assert pb == 3  # CPU backend: no sweep, default returned
+    # --tune_serving off: deterministic min(full grid, 8), ANY backend,
+    # no measurement and no cache involvement
+    pb_off = at.choose_patch_batch(graph, variables, x, (8, 8, 8),
+                                   (2, 2, 2), default=3, tune="off")
+    assert pb_off == 8  # 27-patch grid capped at 8
+    small = jnp.zeros((1, 8, 8, 14, 1), jnp.float32)
+    assert at.choose_patch_batch(graph, variables, small, (8, 8, 8),
+                                 (2, 2, 2), tune="off") == 2  # full grid
     # cache write/read path (exercise _save_disk/_load_disk directly)
     at._save_disk({"k": 7})
     assert at._load_disk() == {"k": 7}
