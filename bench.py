@@ -228,6 +228,61 @@ def main():
     col_sync_vps = time_sync(infer_mixed_col)
     col_async_vps = time_async(infer_mixed_col)
 
+    # host-s2d serving: the stem runs the fused Pallas s2d kernel
+    # (pallas/stem.py — 2.8 ms vs the 6.0 ms XLA stem + 3.0 ms dual-output
+    # pass it absorbs) and the space-to-depth transform that made the
+    # on-device path a net loss (14.9 ms pad/reshape/transpose) runs as a
+    # threaded HOST shuffle (native/effq_native.cpp::s2d_bf16) that
+    # overlaps the previous volume's device compute in pipelined serving.
+    # Reported: device-side throughput + the host transform cost per
+    # volume (the pipelined bound is max(host, device)).
+    s2d_async_vps = host_s2d_ms = None
+    try:
+        from efficientq_tpu.data import native as effq_native
+        from efficientq_tpu.pallas.stem import (extract_pre_s2d_patches,
+                                                s2d_need_planes)
+
+        starts = patch_grid(vol_shape, patch, overlap)
+        stem0 = next((nd for nd in mgraph.nodes
+                      if nd.op == "conv"
+                      and nd.inputs == (mgraph.input_name,)), None)
+        if stem0 is not None and s2d_supported(starts, patch, vol_shape,
+                                               stem0.attrs):
+            g2 = channels_first_tail(mgraph)
+            g2, v2, stem = s2d_stem_serving(g2, mvars)
+            if stem is not None:
+                need = s2d_need_planes(starts, patch)
+                t0 = time.perf_counter()
+                svol = effq_native.s2d_bf16(vol, need)
+                host_s2d_ms = (time.perf_counter() - t0) * 1e3
+                svj = jnp.asarray(svol)
+
+                @jax.jit
+                def infer_s2d(v, sv):
+                    def model_fn(xb):
+                        return nnir.apply(g2, v, xb, mode="quantized",
+                                          compute_dtype=jnp.bfloat16,
+                                          keep_head_dtype=True)
+
+                    logits = sliding_window_inference(
+                        model_fn, sv, patch, overlap,
+                        patch_batch=n_patches, channels_first=True,
+                        normalize=False,
+                        extract_fn=extract_pre_s2d_patches,
+                        vol_shape=vol_shape)
+                    return pred_brats_con_merge(
+                        logits[-1], axis=1).astype(jnp.uint8)
+
+                infer_s2d_p = jax.tree_util.Partial(infer_s2d, v2)
+                segs2d = np.asarray(infer_s2d_p(svj))
+                assert segs2d.shape == (1, *vol_shape)
+                t0 = time.perf_counter()
+                outs = [infer_s2d_p(svj) for _ in range(iters)]
+                jax.block_until_ready(outs)
+                s2d_async_vps = iters / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - hardware-path guard
+        print(f"# host-s2d probe skipped: {e!r}", file=sys.stderr)
+
     # cross-volume batching: the patch grids of 3 volumes as ONE 24-patch
     # forward (sliding_window_inference stitches N>1 natively; the
     # inferencer's patch_batch must scale with the volume count or the
@@ -295,11 +350,18 @@ def main():
     # r3 finding 5 — so it is reported separately below), plus the xplane
     # device_ms_per_volume of that winner.  Sync variants remain as a
     # tunnel-health diagnostic only.
-    async_variants = {"bf16_async": (async_vps, infer_bf16),
-                      "int8_pallas_async": (int8_async_vps, infer_int8),
-                      "mixed_int8_3x3_async": (mixed_async_vps, infer_mixed)}
+    async_variants = {
+        "bf16_async": (async_vps, lambda: infer_bf16(vj)),
+        "int8_pallas_async": (int8_async_vps, lambda: infer_int8(vj)),
+        "mixed_int8_3x3_async": (mixed_async_vps, lambda: infer_mixed(vj)),
+    }
+    if s2d_async_vps:
+        # same patch grid as the reference (grid-parity); numerics differ
+        # only at bf16 reduction-order level, like --serve_dtype bf16
+        async_variants["mixed_s2d_host_async"] = (
+            s2d_async_vps, lambda: infer_s2d_p(svj))
     headline_variant = max(async_variants, key=lambda k: async_variants[k][0])
-    tpu_volumes_per_sec, headline_infer = async_variants[headline_variant]
+    tpu_volumes_per_sec, headline_call = async_variants[headline_variant]
 
     # xplane device time of the headline variant: the tunnel-independent
     # ground truth (same extraction as scripts/profile_serving.py)
@@ -312,7 +374,7 @@ def main():
 
         logdir = tempfile.mkdtemp(prefix="effq_bench_prof_")
         with jax.profiler.trace(logdir):
-            outs = [headline_infer(vj) for _ in range(iters)]
+            outs = [headline_call() for _ in range(iters)]
             jax.block_until_ready(outs)
         _, total_ms = top_device_ops(logdir)
         device_ms_per_volume = total_ms / iters
@@ -372,6 +434,9 @@ def main():
         # column serving runs FEWER flops per volume (no D-overlap
         # recompute) — its MFU uses its own flop count
         "mixed_column_async": flops_column * col_async_vps / PEAK_BF16,
+        **({"mixed_s2d_host_async":
+            flops_volume * s2d_async_vps / PEAK_BF16}
+           if s2d_async_vps else {}),
     }
 
     # torch CPU FP32 baseline: one 128^3 patch through the same graph,
@@ -418,10 +483,16 @@ def main():
             "mixed_int8_3x3_async": round(mixed_async_vps, 4),
             "mixed_column_async": round(col_async_vps, 4),
             "mixed_int8_3x3_async_3vol_batch": round(mixed_async3_vps, 4),
+            **({"mixed_s2d_host_async": round(s2d_async_vps, 4)}
+               if s2d_async_vps else {}),
             **({"artifact_async": round(artifact_async_vps, 4),
                 "live_jit_async": round(live_jit_async_vps, 4)}
                if artifact_async_vps else {}),
         },
+        # host-side s2d transform cost per volume (overlaps device compute
+        # in pipelined serving; the pipeline bound is max(host, device))
+        **({"host_s2d_ms_per_volume": round(host_s2d_ms, 1)}
+           if host_s2d_ms is not None else {}),
         # synchronous per-volume dispatch: dominated by the dev tunnel's
         # per-call RTT, kept ONLY as a tunnel-health diagnostic
         "tunnel_diagnostics_sync": {

@@ -111,6 +111,7 @@ def sliding_window_inference(
     channels_first: bool = False,
     normalize: bool = True,
     extract_fn=None,
+    vol_shape=None,
 ) -> jax.Array:
     """Run ``model_fn`` ((B, pd, ph, pw, C) -> (M, B, pd, ph, pw, C_out))
     over the overlapped patch grid of ``image`` (N, D, H, W, C) and stitch.
@@ -133,7 +134,11 @@ def sliding_window_inference(
     serving only consumes the last (src/utils/validate.py:266-303).
     """
     patch_size = ops.triple(patch_size)
-    vol_shape = image.shape[1:4]
+    # vol_shape override: when ``image`` is a pre-transformed model-input
+    # volume (e.g. the host-side s2d array, extract_pre_s2d_patches), the
+    # grid and stitch still run in ORIGINAL volume coordinates
+    if vol_shape is None:
+        vol_shape = image.shape[1:4]
     starts = patch_grid(vol_shape, patch_size, overlap)
     P, N = len(starts), image.shape[0]
     if extract_fn is not None:

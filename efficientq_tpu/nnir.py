@@ -22,6 +22,7 @@ Node names mirror the reference's torch module paths (e.g.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -244,7 +245,11 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
                 residual_relu=bool(a.get("residual_relu")),
                 # dual output (y, maxpool2(y)); consumers are tuple_get
                 # nodes (pallas/epilogue.py::_fuse_pools)
-                pool=bool(a.get("epilogue_pool")))
+                pool=bool(a.get("epilogue_pool")),
+                # ring-accumulator A/B override for profiling (EFFQ_RING=
+                # off|force); default 'auto' engages where the kd-packed
+                # dot reduces padded MXU work — bit-exact either way
+                ring=os.environ.get("EFFQ_RING", "auto"))
         if a.get("int8"):
             y = fused_int8_matmul(
                 x.reshape(-1, c), p["kernel_int8"].reshape(c, -1),

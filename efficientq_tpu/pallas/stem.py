@@ -127,6 +127,27 @@ def s2d_supported(starts, patch_size, vol_shape, attrs) -> bool:
             and all(j % 2 == 0 and k % 2 == 0 for (_, j, k) in starts))
 
 
+def s2d_need_planes(starts, patch_size) -> int:
+    """s2d planes required to serve this grid (odd-z-start patches read one
+    plane past ceil(D/2)) — the ``min_planes`` for the host transform."""
+    pd = patch_size[0]
+    return max(((i - 1) // 2 + pd // 2 + 1) for (i, _, _) in starts)
+
+
+def extract_pre_s2d_patches(svol: jax.Array, starts,
+                            patch_size) -> Tuple[jax.Array, jax.Array]:
+    """extract_s2d_patches for a volume ALREADY in s2d space (the host
+    transform path, data/native.py::s2d_bf16): no device-side
+    pad/reshape/transpose — the 14.9 ms pass that made on-device s2d a
+    net loss (docs/kernels.md) never runs.  Use with
+    ``sliding_window_inference(extract_fn=..., vol_shape=<original>)``."""
+    pd = patch_size[0]
+    assert svol.shape[1] >= s2d_need_planes(starts, patch_size), \
+        (svol.shape, "s2d volume too shallow for this grid — pass " \
+         "min_planes=s2d_need_planes(...) to the host transform")
+    return _slice_s2d(svol, starts, patch_size)
+
+
 def extract_s2d_patches(image: jax.Array, starts,
                         patch_size) -> Tuple[jax.Array, jax.Array]:
     """Extract the patch grid directly in s2d space.
@@ -137,8 +158,13 @@ def extract_s2d_patches(image: jax.Array, starts,
     (their kd=0 tap at z'=0 is the conv's zero padding); odd-z-start
     patches start one plane early in real data and mask in-kernel."""
     pd, ph, pw = patch_size
-    need = max(((i - 1) // 2 + pd // 2 + 1) for (i, _, _) in starts)
-    svol = s2d_volume(image, min_planes=need)
+    svol = s2d_volume(image, min_planes=s2d_need_planes(starts, patch_size))
+    return _slice_s2d(svol, starts, patch_size)
+
+
+def _slice_s2d(svol: jax.Array, starts,
+               patch_size) -> Tuple[jax.Array, jax.Array]:
+    pd, ph, pw = patch_size
     n = svol.shape[0]
     zero = jnp.zeros((n, 1, ph // 2, pw // 2, svol.shape[-1]), svol.dtype)
     pieces: List[jax.Array] = []

@@ -135,3 +135,82 @@ void zoom3d_nearest_u8(const uint8_t* src, int64_t sd, int64_t sh, int64_t sw,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Space-to-depth serving transform (the host side of the fused s2d stem,
+// efficientq_tpu/pallas/stem.py).  On device the pad->reshape->transpose
+// costs 14.9 ms per BraTS volume and regresses the serving graph's layout
+// assignment (docs/kernels.md); on the host it is a cheap threaded memory
+// shuffle that overlaps the previous volume's device compute in the
+// pipelined eval loop.
+//
+//   dst[n][t][i][j][((pz*2+py)*2+px)*C + c] = src[n][2t+pz][2i+py][2j+px][c]
+//
+// src: (N, D, H, W, C) float32, dst: (N, out_planes, H/2, W/2, 8C) bf16
+// (uint16 storage), zero-filled where 2t+pz >= D.  bf16 conversion is
+// round-to-nearest-even — bit-identical to jnp.astype(bfloat16).
+
+#include <thread>
+#include <vector>
+
+static inline uint16_t f32_to_bf16(float f) {
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    x += 0x7FFFu + ((x >> 16) & 1u);  // RTNE
+    return (uint16_t)(x >> 16);
+}
+
+extern "C" void s2d_bf16(const float* src, int64_t n, int64_t d, int64_t h,
+                         int64_t w, int64_t c, uint16_t* dst,
+                         int64_t out_planes) {
+    const int64_t ho = h / 2, wo = w / 2, c8 = 8 * c;
+    const int64_t dst_plane = ho * wo * c8;
+    const int64_t src_plane = h * w * c;
+    int64_t total = n * out_planes;
+    unsigned nt = std::max(1u, std::min(std::thread::hardware_concurrency(),
+                                        (unsigned)total));
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t job = lo; job < hi; ++job) {
+            const int64_t ni = job / out_planes, t = job % out_planes;
+            uint16_t* out = dst + job * dst_plane;
+            for (int64_t pz = 0; pz < 2; ++pz) {
+                const int64_t zi = 2 * t + pz;
+                if (zi >= d) {
+                    // zero-fill this phase's channel block across the plane
+                    for (int64_t ij = 0; ij < ho * wo; ++ij)
+                        std::memset(out + ij * c8 + pz * 4 * c, 0,
+                                    sizeof(uint16_t) * 4 * c);
+                    continue;
+                }
+                const float* sp = src + (ni * d + zi) * src_plane;
+                for (int64_t i = 0; i < ho; ++i) {
+                    for (int64_t py = 0; py < 2; ++py) {
+                        const float* row = sp + (2 * i + py) * (w * c);
+                        uint16_t* orow = out + i * (wo * c8)
+                                       + (pz * 2 + py) * 2 * c;
+                        for (int64_t j = 0; j < wo; ++j) {
+                            const float* s0 = row + 2 * j * c;
+                            uint16_t* o0 = orow + j * c8;
+                            for (int64_t px = 0; px < 2; ++px)
+                                for (int64_t cc = 0; cc < c; ++cc)
+                                    o0[px * c + cc] =
+                                        f32_to_bf16(s0[px * c + cc]);
+                        }
+                    }
+                }
+            }
+        }
+    };
+    if (nt <= 1) {
+        work(0, total);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (total + nt - 1) / nt;
+    for (unsigned ti = 0; ti < nt; ++ti) {
+        int64_t lo = ti * chunk, hi = std::min<int64_t>(total, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}

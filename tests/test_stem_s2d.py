@@ -146,3 +146,55 @@ def test_s2d_rewrite_skips_non_matching_graphs(serving_graphs):
     fg, fv = fold_bn(g, v)
     g2, v2, stem = s2d_stem_serving(fg, fv)  # stride-1 stem: unsupported
     assert stem is None and g2 is fg
+
+
+def test_host_s2d_matches_device_transform():
+    """data/native.py::s2d_bf16 (C++ and the NumPy fallback) is
+    bit-identical to the device-side s2d_volume + bf16 cast (RTNE)."""
+    import efficientq_tpu.data.native as nat
+
+    rng = np.random.RandomState(3)
+    for shape, minp in (((1, 5, 8, 8, 2), 0), ((2, 6, 8, 8, 4), 0),
+                        ((1, 7, 16, 16, 1), 5)):
+        vol = (rng.randn(*shape) * 10).astype(np.float32)
+        want = np.asarray(
+            s2d_volume(jnp.asarray(vol), min_planes=minp,
+                       dtype=jnp.bfloat16)).view(np.uint16)
+        got = nat.s2d_bf16(vol, min_planes=minp)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got.view(np.uint16), want)
+        if nat.available():
+            # force the NumPy fallback too (non-f32 dtype routes around C++)
+            got_np = nat.s2d_bf16(vol.astype(np.float64), min_planes=minp)
+            np.testing.assert_array_equal(got_np.view(np.uint16), want)
+
+
+def test_pre_s2d_extract_matches_in_graph_s2d(serving_graphs):
+    """Serving from a HOST-transformed s2d volume (extract_pre_s2d_patches
+    + the vol_shape override) is bit-identical to the in-graph s2d path —
+    the device-side pad/reshape/transpose never runs."""
+    import efficientq_tpu.data.native as nat
+    from efficientq_tpu.pallas.stem import (extract_pre_s2d_patches,
+                                            s2d_need_planes)
+
+    _, _, sg, sv, stem = serving_graphs
+    vol_shape = (39, 48, 48)
+    patch, overlap = (32, 32, 32), (8, 8, 8)
+    starts = patch_grid(vol_shape, patch, overlap)
+    vol = np.random.RandomState(1).randn(1, *vol_shape, 4).astype(np.float32)
+
+    def model_fn(xb):
+        return nnir.apply(sg, sv, xb, mode="quantized",
+                          compute_dtype=jnp.bfloat16)
+
+    base = sliding_window_inference(
+        model_fn, jnp.asarray(vol), patch, overlap, patch_batch=8,
+        channels_first=True, normalize=False,
+        extract_fn=extract_s2d_patches)
+
+    svol = jnp.asarray(nat.s2d_bf16(vol, s2d_need_planes(starts, patch)))
+    got = sliding_window_inference(
+        model_fn, svol, patch, overlap, patch_batch=8,
+        channels_first=True, normalize=False,
+        extract_fn=extract_pre_s2d_patches, vol_shape=vol_shape)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
