@@ -252,9 +252,15 @@ def main():
             g2, v2, stem = s2d_stem_serving(g2, mvars)
             if stem is not None:
                 need = s2d_need_planes(starts, patch)
-                t0 = time.perf_counter()
+                # warmup pays the one-time ctypes/make load (r3 charged it
+                # to the transform: 1695 ms reported for a 52 ms kernel)
                 svol = effq_native.s2d_bf16(vol, need)
-                host_s2d_ms = (time.perf_counter() - t0) * 1e3
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    effq_native.s2d_bf16(vol, need)
+                    samples.append((time.perf_counter() - t0) * 1e3)
+                host_s2d_ms = min(samples)
                 svj = jnp.asarray(svol)
 
                 @jax.jit
@@ -355,11 +361,19 @@ def main():
         "int8_pallas_async": (int8_async_vps, lambda: infer_int8(vj)),
         "mixed_int8_3x3_async": (mixed_async_vps, lambda: infer_mixed(vj)),
     }
+    s2d_effective_vps = None
     if s2d_async_vps:
         # same patch grid as the reference (grid-parity); numerics differ
-        # only at bf16 reduction-order level, like --serve_dtype bf16
+        # only at bf16 reduction-order level, like --serve_dtype bf16.
+        # Headline eligibility uses the PIPELINE bound: the host transform
+        # overlaps device compute, so sustained throughput is
+        # min(device rate, host rate) — on a many-core production host the
+        # threaded transform is far below device time, but THIS rig has
+        # one core, and quoting device-only throughput while the host
+        # gates the pipeline would overstate the deliverable.
+        s2d_effective_vps = min(s2d_async_vps, 1000.0 / host_s2d_ms)
         async_variants["mixed_s2d_host_async"] = (
-            s2d_async_vps, lambda: infer_s2d_p(svj))
+            s2d_effective_vps, lambda: infer_s2d_p(svj))
     headline_variant = max(async_variants, key=lambda k: async_variants[k][0])
     tpu_volumes_per_sec, headline_call = async_variants[headline_variant]
 
@@ -483,7 +497,10 @@ def main():
             "mixed_int8_3x3_async": round(mixed_async_vps, 4),
             "mixed_column_async": round(col_async_vps, 4),
             "mixed_int8_3x3_async_3vol_batch": round(mixed_async3_vps, 4),
-            **({"mixed_s2d_host_async": round(s2d_async_vps, 4)}
+            # _async = device-only rate; _effective = pipeline bound
+            # min(device, host transform) — what a 1-core host sustains
+            **({"mixed_s2d_host_async": round(s2d_async_vps, 4),
+                "mixed_s2d_host_effective": round(s2d_effective_vps, 4)}
                if s2d_async_vps else {}),
             **({"artifact_async": round(artifact_async_vps, 4),
                 "live_jit_async": round(live_jit_async_vps, 4)}
