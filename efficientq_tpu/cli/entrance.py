@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mixed_frac", type=float, default=0.0,
                         help="fraction of most-sensitive layers to lift to "
                              "--mixed_qlvl (0 = uniform precision)")
+    parser.add_argument("--mixed_tail", choices=["on", "off"], default="on",
+                        help="structurally include the final-stage convs "
+                             "in the --mixed_frac lift set (the W2A2 "
+                             "basin-cascade trigger — basin_probe.py; the "
+                             "rel-loss ranking underrates them)")
     parser.add_argument("--mixed_qlvl", type=int, default=16,
                         help="quantization levels for the lifted layers "
                              "(16 = 4-bit)")

@@ -297,7 +297,8 @@ def ptq(args):
             num_mo=n_mo, n_class=nClass,
             patch_size=hub.slide_patch_size, overlap=hub.slide_overlap,
             multilabel_fusetype=hub.multilabel_fusetype,
-            mixed_frac=mixed_frac, mixed_qlvl=args.mixed_qlvl, **ptq_kw)
+            mixed_frac=mixed_frac, mixed_qlvl=args.mixed_qlvl,
+            mixed_tail=getattr(args, "mixed_tail", "on") == "on", **ptq_kw)
         calib_x = ops.ncdhw_to_ndhwc(
             jnp.asarray(cand_imgs[selection["picked"]]))
         with open(P.join(snap_dir, "calib_select.txt"), "w") as f:
@@ -322,7 +323,9 @@ def ptq(args):
 
             fgraph, qvars, report = run_ptq_mixed(
                 graph, variables, calib_x, mixed_frac=mixed_frac,
-                mixed_qlvl=args.mixed_qlvl, **ptq_kw)
+                mixed_qlvl=args.mixed_qlvl,
+                mixed_tail=getattr(args, "mixed_tail", "on") == "on",
+                **ptq_kw)
         else:
             fgraph, qvars, report = run_ptq(graph, variables, calib_x,
                                             **ptq_kw)

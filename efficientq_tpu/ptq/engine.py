@@ -120,6 +120,48 @@ def block_calibration_targets(graph: Graph) -> Dict[str, Tuple[str, str]]:
     return out
 
 
+def tail_sensitive_convs(graph: Graph, k: int = 2) -> List[str]:
+    """The final-stage weight-quantized convs (the last ResBlock's, on both
+    presets): the cascade-trigger set of the W2A2 bimodal basin.
+
+    The basin probe (scripts/basin_probe.py, docs/quantization.md) showed
+    every calibration draw's prefix-quantization dice collapses at the LAST
+    decoder block's entry conv — its local reconstruction loss is small
+    (the layer is narrow and its target energy low) so the rel-loss ranking
+    underrates it, but its output feeds the classifier with no downstream
+    conv left to absorb the error.  This is the same structural fact behind
+    the reference's own q_first/q_last heuristic (src/definer.py:167-176:
+    first/last conv kept high-precision unconditionally), extended one
+    block inward.
+
+    Returns the last ``k`` qconvs in topological order that do NOT reach a
+    graph output without crossing another weight-quantized conv (which
+    excludes the classifier heads — q_last already covers those).
+    """
+    cons = graph.consumers()
+    nodes = {n.name: n for n in graph.nodes}
+
+    def reaches_output_sans_qconv(name):
+        seen, stack = set(), [name]
+        while stack:
+            for c in cons.get(stack.pop(), []):
+                if c == "__output__":
+                    return True
+                nd = nodes[c]
+                if (nd.op == "conv" and nd.attrs.get("qcfg") is not None
+                        and nd.attrs["qcfg"].q_weight):
+                    continue
+                if c not in seen:
+                    seen.add(c)
+                    stack.append(c)
+        return False
+
+    body = [n.name for n in graph.qconv_nodes()
+            if n.attrs["qcfg"].q_weight
+            and not reaches_output_sans_qconv(n.name)]
+    return body[-k:]
+
+
 def _layer_kw(node, qcfg, p, hp):
     """The static calibrate_layer kwargs for one qconv — shared by the
     sweep and the AOT precompiler so their program signatures agree."""
@@ -496,6 +538,7 @@ def run_ptq_mixed(
     mixed_qlvl: int = 16,
     verbose: bool = False,
     ranking=None,
+    mixed_tail: bool = True,
     **kw,
 ):
     """Sensitivity-driven mixed-precision PTQ (ours — no reference
@@ -521,6 +564,15 @@ def run_ptq_mixed(
     weights far more than of the calibration volume
     (scripts/mixed_rank_probe.py), so callers calibrating on several
     volumes (ptq/select.py) rank once and reuse.
+
+    ``mixed_tail`` (default on): structurally include the final-stage
+    convs (tail_sensitive_convs) in the lift set, ahead of the rel-loss
+    ranking.  The basin probe showed rel loss systematically underrates
+    the last block (small local target energy, no downstream conv to
+    absorb its error): on the W2A2 gate matrix, forcing the tail moves
+    every calibration draw out of the 0.48 collapse basin (means
+    0.583 -> 0.645; draws 2/3 lift 0.48 -> 0.63/0.58) at identical
+    serving cost.  The lift-set size stays max(k, tail size).
     """
     if not 0.0 < mixed_frac <= 1.0:
         raise ValueError(f"mixed_frac must be in (0, 1], got {mixed_frac}")
@@ -530,8 +582,10 @@ def run_ptq_mixed(
                              **kw)
         ranking = rep1.layer_rel_losses or rep1.layer_losses
     k = max(1, int(round(mixed_frac * len(ranking))))
-    worst = [name for name, _ in
-             sorted(ranking, key=lambda t: -t[1])[:k]]
+    tail = tail_sensitive_convs(graph) if mixed_tail else []
+    ranked = [name for name, _ in sorted(ranking, key=lambda t: -t[1])
+              if name not in tail]
+    worst = (tail + ranked)[:max(k, len(tail))]
     overrides = {}
     lookup = {n.name: n for n in graph.nodes}
     for name in worst:

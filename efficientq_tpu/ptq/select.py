@@ -41,6 +41,7 @@ def select_calibration(
     multilabel_fusetype=None,
     mixed_frac: float = 0.0,
     mixed_qlvl: int = 16,
+    mixed_tail: bool = True,
     verbose: bool = False,
     **ptq_kw,
 ):
@@ -82,8 +83,8 @@ def select_calibration(
         if mixed_frac:
             fg, fv, report = run_ptq_mixed(
                 graph, variables, calib_x, mixed_frac=mixed_frac,
-                mixed_qlvl=mixed_qlvl, verbose=verbose, ranking=ranking,
-                **ptq_kw)
+                mixed_qlvl=mixed_qlvl, mixed_tail=mixed_tail,
+                verbose=verbose, ranking=ranking, **ptq_kw)
         else:
             fg, fv, report = run_ptq(graph, variables, calib_x,
                                      verbose=verbose, **ptq_kw)

@@ -79,9 +79,9 @@ def main():
         if qcfg.q_act:
             p["alpha_act"] = jnp.float32(1.0)
 
-    if variant == "int8":
+    if variant in ("int8", "s2d_int8"):
         g, v = to_int8_inference(fgraph, fvars)
-    elif variant == "mixed":
+    elif variant in ("mixed", "s2d"):
         g, v = to_int8_inference(fgraph, fvars,
                                  only_kernel_sizes={(3, 3, 3)})
     else:
@@ -90,9 +90,25 @@ def main():
 
     vol_shape = (155, 240, 240)
     patch, overlap = (128, 128, 128), (16, 16, 16)
-    n_patches = len(patch_grid(vol_shape, patch, overlap))
-    vj = jnp.asarray(np.random.RandomState(0)
-                     .randn(1, *vol_shape, 4).astype(np.float32))
+    starts = patch_grid(vol_shape, patch, overlap)
+    n_patches = len(starts)
+    vol = np.random.RandomState(0).randn(1, *vol_shape, 4).astype(np.float32)
+
+    extract_fn = None
+    kw = {}
+    if variant.startswith("s2d"):
+        # host-side space-to-depth serving (bench.py mixed_s2d_host_async)
+        from efficientq_tpu.data import native as effq_native
+        from efficientq_tpu.pallas.stem import (extract_pre_s2d_patches,
+                                                s2d_need_planes)
+        from efficientq_tpu.ptq.deploy import s2d_stem_serving
+
+        g, v, stem = s2d_stem_serving(g, v)
+        assert stem is not None, "s2d stem rewrite unsupported here"
+        vol = effq_native.s2d_bf16(vol, s2d_need_planes(starts, patch))
+        extract_fn = extract_pre_s2d_patches
+        kw = dict(vol_shape=vol_shape)
+    vj = jnp.asarray(vol)
 
     @jax.jit
     def infer(v, image):
@@ -104,7 +120,8 @@ def main():
         logits = sliding_window_inference(model_fn, image, patch, overlap,
                                           patch_batch=n_patches,
                                           channels_first=True,
-                                          normalize=False)
+                                          normalize=False,
+                                          extract_fn=extract_fn, **kw)
         return pred_brats_con_merge(logits[-1], axis=1).astype(jnp.uint8)
 
     jax.block_until_ready(infer(v, vj))  # compile + warmup

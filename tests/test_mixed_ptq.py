@@ -78,10 +78,10 @@ def test_mixed_improves_reconstruction_and_reports_ranking():
 
     mg, mv, rep_mixed = run_ptq_mixed(
         graph, variables, x, task="lits", init_stride=cfg.init_stride,
-        hp=hp, mixed_frac=0.34, mixed_qlvl=16)
+        hp=hp, mixed_frac=0.34, mixed_qlvl=16, mixed_tail=False)
     n_q = len(rep_low.layer_losses)
     assert len(rep_mixed.mixed_upgraded) == max(1, round(0.34 * n_q))
-    # the upgraded set IS the worst-relative-loss set from pass 1
+    # with mixed_tail off, the upgraded set IS the worst-relative-loss set
     expect = [n for n, _ in sorted(rep_low.layer_rel_losses,
                                    key=lambda t: -t[1])]
     assert set(rep_mixed.mixed_upgraded) == set(
@@ -111,11 +111,43 @@ def test_mixed_deploys_bit_exact_int8():
                                    atol=2e-3 * scale + 1e-4, rtol=1e-3)
 
 
+def test_tail_sensitive_convs_is_last_block():
+    """tail_sensitive_convs returns the final ResBlock's convs — the W2A2
+    basin-cascade trigger set (scripts/basin_probe.py: every calibration
+    draw's prefix dice collapses at the last decoder block's entry conv;
+    docs/quantization.md)."""
+    from efficientq_tpu.ptq import tail_sensitive_convs
+
+    cfg, graph, variables = _tiny()
+    tail = tail_sensitive_convs(graph)
+    assert tail == ["u_blocks.UResBlock3.Layer1.block1.conv",
+                    "u_blocks.UResBlock3.Layer1.block2.conv"]
+    # never the classifier heads (q_last covers those) and never empty
+    assert all("cls" not in n for n in tail)
+
+
+def test_mixed_tail_forces_final_stage_into_lift_set():
+    cfg, graph, variables = _tiny()
+    x = _calib()
+    hp = PTQHyperParams(admm_iter=10)
+    from efficientq_tpu.ptq import tail_sensitive_convs
+
+    tail = set(tail_sensitive_convs(graph))
+    # small frac: the pure ranking would pick 1 layer; the tail forces 2
+    mg, mv, rep = run_ptq_mixed(
+        graph, variables, x, task="lits", init_stride=cfg.init_stride,
+        hp=hp, mixed_frac=0.1, mixed_qlvl=16)
+    assert tail <= set(rep.mixed_upgraded)
+    for name in tail:
+        assert mg.node(name).attrs["qcfg"].qlvl_w == 16
+
+
 def test_cli_mixed_flags():
     from efficientq_tpu.cli.entrance import build_parser
 
     args = build_parser().parse_args(["ptq", "--mixed_frac", "0.25",
                                       "--mixed_qlvl", "64"])
     assert args.mixed_frac == 0.25 and args.mixed_qlvl == 64
-    args = build_parser().parse_args(["ptq"])
-    assert args.mixed_frac == 0.0
+    assert args.mixed_tail == "on"
+    args = build_parser().parse_args(["ptq", "--mixed_tail", "off"])
+    assert args.mixed_frac == 0.0 and args.mixed_tail == "off"
