@@ -119,7 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["layer", "block"],
                         help="'block' calibrates each ResBlock's exit conv "
                              "against the block's FP output (absorbs "
-                             "in-block quantization error)")
+                             "in-block quantization error).  EXPERIMENTAL: "
+                             "it measurably lowers reconstruction error — "
+                             "on held-out volumes too — but at 2-bit "
+                             "reconstruction anti-correlates with dice and "
+                             "'block' never beat 'layer' on held-out dice "
+                             "on our gates (docs/quantization.md, "
+                             "experiments/block_target_diag.json); prefer "
+                             "--mixed_frac with the default --mixed_tail")
     # ours: per-output-channel alpha_w (the 'channel_wise' the reference's
     # PTQBlock reads but no PTQConv defines, src/models/PTQBlock.py:15)
     parser.add_argument("--channel_wise", action="store_true",

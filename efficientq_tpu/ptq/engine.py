@@ -275,6 +275,7 @@ def run_ptq(
     mesh=None,
     granularity: str = "layer",
     qlvl_overrides: Dict[str, Tuple[int, int]] = None,
+    block_target: str = "quantized",
 ):
     """Calibrate every qconv of ``graph`` on one NDHWC calibration batch.
 
@@ -299,6 +300,9 @@ def run_ptq(
     if granularity not in ("layer", "block"):
         raise ValueError(f"granularity must be 'layer' or 'block', "
                          f"got {granularity!r}")
+    if block_target not in ("quantized", "fp"):
+        raise ValueError(f"block_target must be 'quantized' or 'fp', "
+                         f"got {block_target!r}")
     if fold:
         graph, variables = fold_bn(graph, variables)
     if qlvl_overrides:
@@ -312,6 +316,10 @@ def run_ptq(
     capture = [n.name for n in qnodes]
     capture += sorted({a for a, _ in block_targets.values()
                        if a not in capture})
+    if block_target == "fp":
+        # the FP value of each residual stream (see target choice below)
+        capture += sorted({r for _, r in block_targets.values()
+                           if r not in capture})
 
     t0 = time.time()
 
@@ -429,12 +437,24 @@ def run_ptq(
             y_fp = captured[node.name]
             if node.name in block_targets:
                 # block granularity: regression target = FP block output
-                # minus the QUANTIZED residual stream, so this conv absorbs
-                # the block's accumulated error (the add is linear; see
+                # minus the residual stream, so this conv absorbs the
+                # block's accumulated error (the add is linear; see
                 # block_calibration_targets).  The reported layer loss is
                 # then the block-output loss.
+                #
+                # block_target picks WHICH residual value shifts the target:
+                #   'quantized' (default) — the deployed stream: exact for
+                #     the calibration volume, but it bakes the stream's
+                #     draw-specific quantization noise into the target with
+                #     a minus sign, so the exit conv learns to CANCEL that
+                #     draw's noise (the repair-overfit mechanism of the
+                #     W2A2 basin, docs/quantization.md);
+                #   'fp' — the captured FP stream: a biased target at
+                #     deploy time but free of draw noise.
                 add_name, res_name = block_targets[node.name]
-                y_fp = captured[add_name] - values[res_name]
+                res_val = (captured[res_name] if block_target == "fp"
+                           else values[res_name])
+                y_fp = captured[add_name] - res_val
             t_layer = time.time()
             if verbose:
                 print(f"Calibrating {node.name}")

@@ -137,7 +137,7 @@ void zoom3d_nearest_u8(const uint8_t* src, int64_t sd, int64_t sh, int64_t sw,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// Space-to-depth serving transform (the host side of the fused s2d stem,
+// Space-to-depth serving transforms (the host side of the fused s2d stem,
 // efficientq_tpu/pallas/stem.py).  On device the pad->reshape->transpose
 // costs 14.9 ms per BraTS volume and regresses the serving graph's layout
 // assignment (docs/kernels.md); on the host it is a cheap threaded memory

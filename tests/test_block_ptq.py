@@ -95,3 +95,32 @@ def test_cli_flag_surface():
     assert args.lwq_granularity == "block"
     args = build_parser().parse_args(["ptq"])
     assert args.lwq_granularity == "layer"
+
+
+def test_block_target_fp_variant():
+    """block_target='fp' shifts the exit-conv target by the CAPTURED FP
+    residual instead of the quantized stream (the draw-noise hypothesis
+    test of experiments/block_target_diag.json — refuted there, kept as a
+    library knob).  It must run, differ from the default where blocks are
+    eligible, and reject unknown values."""
+    import pytest
+
+    cfg, graph, variables = _tiny()
+    x = jnp.asarray(np.random.RandomState(5)
+                    .randn(1, 16, 16, 16, 2).astype(np.float32))
+    hp = PTQHyperParams(admm_iter=8)
+    _, v_q, _ = run_ptq(graph, variables, x, task="lits",
+                        init_stride=cfg.init_stride, hp=hp,
+                        granularity="block")
+    fg, v_fp, _ = run_ptq(graph, variables, x, task="lits",
+                          init_stride=cfg.init_stride, hp=hp,
+                          granularity="block", block_target="fp")
+    targets = block_calibration_targets(fg)
+    assert targets
+    exit_conv = next(iter(targets))
+    assert not np.array_equal(np.asarray(v_q["params"][exit_conv]["kernel"]),
+                              np.asarray(v_fp["params"][exit_conv]["kernel"]))
+    with pytest.raises(ValueError):
+        run_ptq(graph, variables, x, task="lits",
+                init_stride=cfg.init_stride, hp=hp,
+                granularity="block", block_target="nope")
