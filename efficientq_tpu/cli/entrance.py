@@ -217,6 +217,20 @@ def build_parser() -> argparse.ArgumentParser:
     # data parallelism over a 1-D device mesh: 0 = off (single device),
     # -1 = all local devices, N = first N devices. Batch must divide evenly.
     parser.add_argument("--dp_devices", type=int, default=0)
+    # multi-host / multi-slice (SURVEY.md §2.2: ICI intra-slice, DCN
+    # multi-slice): --distributed calls jax.distributed.initialize before
+    # any backend work (coordinator/process env vars per jax docs);
+    # --mesh_shape D,I builds a hybrid (dcn=D, ici=I) 2-D data mesh
+    # (parallel/mesh.py::make_hybrid_mesh) — the batch shards over both
+    # axes, --fsdp shards state over the ICI axis only
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed (multi-process; "
+                             "reads JAX_COORDINATOR_ADDRESS / "
+                             "JAX_NUM_PROCESSES / JAX_PROCESS_ID or the "
+                             "TPU-pod autodetector)")
+    parser.add_argument("--mesh_shape", type=str, default=None,
+                        help="'D,I' hybrid data mesh: D slices over DCN x "
+                             "I chips over ICI (replaces --dp_devices)")
     # with --dp_devices: ZeRO/FSDP-style sharding of parameters + optimizer
     # state over the data mesh (parallel/mesh.py::fsdp_shardings) — GSPMD
     # derives the all-gather-on-use / reduce-scatter schedule
@@ -289,6 +303,14 @@ def main(argv=None):
 
     import jax
 
+    if getattr(args, "distributed", False):
+        # must precede any backend use (device queries below included)
+        from ..parallel import init_distributed
+
+        init_distributed()
+        print(f"jax.distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices")
     if args.debug:
         # analogue of torch.autograd.set_detect_anomaly(True) +
         # the NaN check (train_seg.py:174, trainer.py:226-227)

@@ -23,7 +23,19 @@ from . import definer
 
 
 def _make_dp_mesh(args, check_batch: bool = False):
-    """Build the 1-D data mesh for --dp_devices (0 = off, -1 = all)."""
+    """Build the data mesh: --mesh_shape D,I (hybrid dcn x ici, multi-host)
+    or --dp_devices (1-D local; 0 = off, -1 = all)."""
+    shape = getattr(args, "mesh_shape", None)
+    if shape:
+        from ..parallel import make_hybrid_mesh
+
+        n_dcn, n_ici = (int(v) for v in shape.split(","))
+        if check_batch and args.batch_size % (n_dcn * n_ici) != 0:
+            raise ValueError(f"batch_size {args.batch_size} not divisible "
+                             f"by mesh {n_dcn}x{n_ici}")
+        mesh = make_hybrid_mesh(n_dcn, n_ici)
+        print(f"Hybrid data mesh dcn={n_dcn} x ici={n_ici}: {mesh}")
+        return mesh
     dp = getattr(args, "dp_devices", 0) or 0
     if not dp:
         return None

@@ -53,6 +53,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64]
+            lib.s2d_patches_bf16.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
             _LIB = lib
         except Exception:
             _LIB = False
@@ -150,3 +155,52 @@ def s2d_bf16(vol: np.ndarray, min_planes: int = 0) -> np.ndarray:
     return np.ascontiguousarray(
         x.reshape(n, dp // 2, h // 2, w // 2, 8 * c)).astype(
         ml_dtypes.bfloat16)
+
+
+def s2d_patches_bf16(vol: np.ndarray, starts, patch_size) -> np.ndarray:
+    """Fused s2d + patch-grid extraction (the stem kernel's exact input):
+    (N, D, H, W, C) float32 -> (P*N, pd/2+1, ph/2, pw/2, 8C) bfloat16,
+    P-major, bit-identical to extract_s2d_patches
+    (pallas/stem.py::_slice_s2d on the device transform) — but the device
+    then runs ZERO extraction work: the on-device stack build cost
+    ~2.1 ms/volume in layout traffic (plane-minor DUS assembly + the
+    relayout copy the Pallas stem operand forces).
+
+    Plane 0 of even-z-start patches is the conv's patch-local zero pad;
+    odd-start patches start one plane early in real data and mask
+    in-kernel (see pallas/stem.py)."""
+    import ml_dtypes
+
+    n, d, h, w, c = vol.shape
+    pd, ph, pw = patch_size
+    p = len(starts)
+    assert ph % 2 == 0 and pw % 2 == 0 and pd % 2 == 0, (pd, ph, pw)
+    lib = _load()
+    if lib is not None and vol.dtype == np.float32:
+        src = np.ascontiguousarray(vol)
+        st = np.ascontiguousarray(
+            np.asarray(starts, np.int64).reshape(p, 3))
+        dst = np.empty((p * n, pd // 2 + 1, ph // 2, pw // 2, 8 * c),
+                       np.uint16)
+        lib.s2d_patches_bf16(
+            src.ctypes.data_as(ctypes.c_void_p), n, d, h, w, c,
+            st.ctypes.data_as(ctypes.c_void_p), p, pd, ph, pw,
+            dst.ctypes.data_as(ctypes.c_void_p))
+        return dst.view(ml_dtypes.bfloat16)
+    # NumPy fallback: s2d the whole volume, then slice per patch exactly
+    # like pallas/stem.py::_slice_s2d
+    need = max(((i - 1) // 2 + pd // 2 + 1) for (i, _, _) in starts)
+    svol = s2d_bf16(vol, need)
+    zero = np.zeros((n, 1, ph // 2, pw // 2, svol.shape[-1]), svol.dtype)
+    pieces = []
+    for (i, j, k) in starts:
+        js, ks = j // 2, k // 2
+        if i % 2 == 0:
+            body = svol[:, i // 2:i // 2 + pd // 2,
+                        js:js + ph // 2, ks:ks + pw // 2]
+            pieces.append(np.concatenate([zero, body], axis=1))
+        else:
+            pieces.append(svol[:, (i - 1) // 2:(i - 1) // 2 + pd // 2 + 1,
+                          js:js + ph // 2, ks:ks + pw // 2])
+    stack = np.stack(pieces)
+    return np.ascontiguousarray(stack.reshape(-1, *stack.shape[2:]))

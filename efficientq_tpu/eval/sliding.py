@@ -143,8 +143,12 @@ def sliding_window_inference(
     P, N = len(starts), image.shape[0]
     if extract_fn is not None:
         # custom model-input space (e.g. pallas.stem.extract_s2d_patches):
-        # any pytree whose leaves are batched on a leading P*N axis
+        # any pytree whose leaves are batched on a leading P*N axis.  N is
+        # derived from the extraction, not image.shape[0] — for a host-
+        # PRE-STACKED input (prestacked_s2d_extract) the image array's
+        # leading dim is already P*N, not N
         flat = extract_fn(image, starts, patch_size)
+        N = jax.tree_util.tree_leaves(flat)[0].shape[0] // P
     else:
         patches = extract_patches(image, starts, patch_size)
         flat = patches.reshape(P * N, *patches.shape[2:])

@@ -148,6 +148,20 @@ def extract_pre_s2d_patches(svol: jax.Array, starts,
     return _slice_s2d(svol, starts, patch_size)
 
 
+def prestacked_s2d_extract(stack: jax.Array, starts,
+                           patch_size) -> Tuple[jax.Array, jax.Array]:
+    """extract_fn for a patch stack ALREADY built on the host
+    (data/native.py::s2d_patches_bf16): the device runs zero extraction —
+    no slicing, no plane-minor DUS assembly, no relayout copy for the
+    Pallas stem operand (~2.1 ms/volume on the flagship).  ``stack`` is
+    (P*N, pd/2+1, ph/2, pw/2, 8C); only the parity vector is derived."""
+    pd = patch_size[0]
+    assert stack.shape[1] == pd // 2 + 1, (stack.shape, patch_size)
+    n = stack.shape[0] // len(starts)
+    parities = np.asarray([i % 2 for (i, _, _) in starts], np.int32)
+    return stack, jnp.asarray(np.repeat(parities, n))
+
+
 def extract_s2d_patches(image: jax.Array, starts,
                         patch_size) -> Tuple[jax.Array, jax.Array]:
     """Extract the patch grid directly in s2d space.

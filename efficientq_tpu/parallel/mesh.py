@@ -29,9 +29,96 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis_name,))
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Idempotent ``jax.distributed.initialize`` wrapper — the multi-host
+    (DCN) entry point (SURVEY.md §2.2/§5: ICI intra-slice, DCN multi-slice).
+
+    With no arguments, jax reads the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
+    cluster autodetectors on TPU pods).  Must run before any backend
+    initializes.  Safe to call twice (second call is a no-op)."""
+    try:
+        # idempotency probe that does NOT touch the XLA backend
+        # (jax.process_count() would initialize it, and initialize() must
+        # run before any backend init)
+        from jax._src.distributed import global_state
+
+        if getattr(global_state, "client", None) is not None:
+            return
+    except ImportError:  # pragma: no cover — private-module move
+        pass
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:  # already initialized -> idempotent
+        if "already initialized" not in str(e):
+            raise
+
+
+def make_hybrid_mesh(n_dcn: int, n_ici: int,
+                     axes: Sequence[str] = ("dcn", "data")) -> Mesh:
+    """(n_dcn, n_ici) 2-D mesh: outer axis across processes/slices (DCN),
+    inner axis within a slice (ICI).
+
+    Multi-process: uses ``mesh_utils.create_hybrid_device_mesh`` so the
+    inner axis stays within each process's local devices — collectives on
+    the ``data`` (ICI) axis ride the fast interconnect and only the outer
+    axis crosses DCN.  Single-process (incl. the CPU dryrun): a plain
+    reshape of the device list, same axis semantics.
+
+    Use with :func:`data_parallel_train_step`: the batch shards over BOTH
+    axes; ``fsdp=True`` shards parameters over the ICI axis only (ZeRO
+    all-gathers never cross DCN — the standard pod recipe)."""
+    total = n_dcn * n_ici
+    devs = jax.devices()
+    if len(devs) < total:
+        raise ValueError(f"mesh {n_dcn}x{n_ici} needs {total} devices, "
+                         f"have {len(devs)}")
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        if n_dcn % jax.process_count() != 0 and \
+                jax.process_count() % n_dcn != 0:
+            raise ValueError(
+                f"dcn axis {n_dcn} incompatible with "
+                f"{jax.process_count()} processes")
+        # TPU pods group the outer axis by slice_index; CPU (the dryrun)
+        # reports one slice for every process — group by process there
+        n_slices = len({getattr(d, "slice_index", None) or 0
+                        for d in devs[:total]})
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (n_ici,), (n_dcn,), devices=devs[:total],
+            process_is_granule=n_slices != n_dcn)
+        return Mesh(arr.reshape(n_dcn, n_ici), tuple(axes))
+    return Mesh(np.array(devs[:total]).reshape(n_dcn, n_ici), tuple(axes))
+
+
+def batch_axes(mesh: Mesh, axis_name: str = "data"):
+    """The mesh axes a batch dimension shards over: every mesh axis for a
+    hybrid (dcn, data) mesh, else just ``axis_name``."""
+    return (tuple(mesh.axis_names) if "dcn" in mesh.axis_names
+            else (axis_name,))
+
+
+def host_local_batch(mesh: Mesh, arr, axis_name: str = "data"):
+    """Multi-process-safe :func:`shard_batch`: ``arr`` is THIS process's
+    shard of the global batch (global batch = process-local batch x
+    process count along the leading axis)."""
+    sh = NamedSharding(mesh, P(batch_axes(mesh, axis_name)))
+    if jax.process_count() > 1:
+        global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+        return jax.make_array_from_process_local_data(sh, np.asarray(arr),
+                                                      global_shape)
+    return jax.device_put(arr, sh)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """First-axis (batch) sharding; everything else replicated."""
-    return NamedSharding(mesh, P(axis_name))
+    """First-axis (batch) sharding; everything else replicated.  On a
+    hybrid (dcn, data) mesh the batch shards over BOTH axes."""
+    return NamedSharding(mesh, P(batch_axes(mesh, axis_name)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -61,13 +148,18 @@ def data_parallel_train_step(graph, optimizer, loss_fn, head_w, mesh,
     replicated — same math, ZeRO memory/collective schedule.  ``amp=True``
     runs the forward/backward activations at bf16 (f32 master state), same
     contract as Trainer(amp=True).
+
+    Hybrid (dcn, data) meshes (make_hybrid_mesh): the batch shards over
+    BOTH axes; fsdp shardings stay on the ICI ``data`` axis so ZeRO
+    all-gathers never cross DCN (the gradient all-reduce is the only
+    cross-slice collective — SURVEY.md §2.2's ICI/DCN plan).
     """
     import jax.numpy as jnp
 
     from .. import nnir
     from ..train.losses import multi_output_loss
 
-    xsh = batch_sharding(mesh, axis_name)
+    xsh = NamedSharding(mesh, P(batch_axes(mesh, axis_name)))
     rsh = replicated(mesh)
     compute_dtype = jnp.bfloat16 if amp else None
 

@@ -268,3 +268,114 @@ extern "C" void s2d_bf16(const float* src, int64_t n, int64_t d, int64_t h,
     }
     for (auto& th : threads) th.join();
 }
+
+// Fused s2d + patch-grid extraction: write the stem kernel's input stack
+// directly — (P*N, pd/2+1, ph/2, pw/2, 8C) bf16, P-major — so the device
+// runs NO extraction at all.  The on-device stack build cost ~2.1 ms/volume
+// in layout traffic (XLA assembled it plane-minor and copied it back for
+// the Pallas operand; profiled copy.56 + DUS fusions + copy.64).
+//
+// Plane t of patch p (start i, j, k), mirroring pallas/stem.py::_slice_s2d:
+//   even i: t == 0 -> physical zero plane (the conv's patch-local pad);
+//           t >= 1 -> s2d plane u = i/2 + t - 1
+//   odd i:  s2d plane u = (i-1)/2 + t
+// where s2d plane u holds src z planes {2u, 2u+1} (zero past D), rows
+// [j + 2r + py], cols from k — the same fused row conversion as s2d_bf16.
+extern "C" void s2d_patches_bf16(const float* src, int64_t n, int64_t d,
+                                 int64_t h, int64_t w, int64_t c,
+                                 const int64_t* starts, int64_t p,
+                                 int64_t pd, int64_t ph, int64_t pw,
+                                 uint16_t* dst) {
+    const int64_t ho = ph / 2, wo = pw / 2, c8 = 8 * c, c2 = 2 * c;
+    const int64_t planes = pd / 2 + 1;
+    const int64_t dst_plane = ho * wo * c8;
+    const int64_t src_plane = h * w * c;
+    const int64_t total = p * n * planes;
+    unsigned nt = std::max(1u, std::min(std::thread::hardware_concurrency(),
+                                        (unsigned)total));
+#ifdef __AVX2__
+    auto cvt8 = [](const float* q) -> __m128i {
+        __m256i x = _mm256_loadu_si256((const __m256i*)q);
+        __m256i bit16 = _mm256_and_si256(_mm256_srli_epi32(x, 16),
+                                         _mm256_set1_epi32(1));
+        x = _mm256_add_epi32(
+            x, _mm256_add_epi32(bit16, _mm256_set1_epi32(0x7FFF)));
+        x = _mm256_srli_epi32(x, 16);
+        __m256i pk = _mm256_packus_epi32(x, x);
+        pk = _mm256_permute4x64_epi64(pk, 0xD8);
+        return _mm256_castsi256_si128(pk);
+    };
+#endif
+    auto work = [&](int64_t lo, int64_t hi) {
+        std::vector<uint16_t> tmp(4 * pw * c, 0);
+        std::vector<float> zrow(pw * c, 0.0f);
+        uint16_t* rows[4] = {tmp.data(), tmp.data() + pw * c,
+                             tmp.data() + 2 * pw * c,
+                             tmp.data() + 3 * pw * c};
+        for (int64_t job = lo; job < hi; ++job) {
+            const int64_t pi = job / (n * planes);
+            const int64_t ni = (job / planes) % n;
+            const int64_t t = job % planes;
+            const int64_t i0 = starts[pi * 3], j0 = starts[pi * 3 + 1],
+                          k0 = starts[pi * 3 + 2];
+            uint16_t* out = dst + job * dst_plane;
+            int64_t u;
+            if (i0 % 2 == 0) {
+                if (t == 0) {  // the conv's patch-local zero pad plane
+                    std::memset(out, 0, sizeof(uint16_t) * dst_plane);
+                    continue;
+                }
+                u = i0 / 2 + t - 1;
+            } else {
+                u = (i0 - 1) / 2 + t;
+            }
+            for (int64_t i = 0; i < ho; ++i) {
+                const float* srow[4];
+                for (int64_t pz = 0; pz < 2; ++pz) {
+                    const int64_t zi = 2 * u + pz;
+                    for (int64_t py = 0; py < 2; ++py)
+                        srow[pz * 2 + py] =
+                            (zi >= d) ? zrow.data()
+                                      : src + (ni * d + zi) * src_plane
+                                            + (j0 + 2 * i + py) * (w * c)
+                                            + k0 * c;
+                }
+                uint16_t* orow = out + i * (wo * c8);
+#ifdef __AVX2__
+                if (c2 == 8) {
+                    for (int64_t j = 0; j < wo; ++j) {
+                        __m128i a0 = cvt8(srow[0] + j * 8);
+                        __m128i a1 = cvt8(srow[1] + j * 8);
+                        __m128i a2 = cvt8(srow[2] + j * 8);
+                        __m128i a3 = cvt8(srow[3] + j * 8);
+                        _mm256_storeu_si256((__m256i*)(orow + j * 32),
+                                            _mm256_set_m128i(a1, a0));
+                        _mm256_storeu_si256((__m256i*)(orow + j * 32 + 16),
+                                            _mm256_set_m128i(a3, a2));
+                    }
+                    continue;
+                }
+#endif
+                for (int64_t q = 0; q < 4; ++q)
+                    bf16_row(srow[q], rows[q], pw * c);
+                for (int64_t j = 0; j < wo; ++j)
+                    for (int64_t q = 0; q < 4; ++q)
+                        std::memcpy(orow + j * c8 + q * c2,
+                                    rows[q] + j * c2,
+                                    sizeof(uint16_t) * c2);
+            }
+        }
+    };
+    if (nt <= 1) {
+        work(0, total);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (total + nt - 1) / nt;
+    for (unsigned ti = 0; ti < nt; ++ti) {
+        int64_t lo = ti * chunk, hi = std::min<int64_t>(total, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}

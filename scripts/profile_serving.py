@@ -97,20 +97,35 @@ def main():
     extract_fn = None
     kw = {}
     if variant.startswith("s2d"):
-        # host-side space-to-depth serving (bench.py mixed_s2d_host_async)
+        # host-side space-to-depth serving (bench.py mixed_s2d_host_async):
+        # the host builds the stem kernel's input PATCH STACK directly
+        # (fused s2d + extraction, native/effq_native.cpp) — the device
+        # runs zero extraction
         from efficientq_tpu.data import native as effq_native
-        from efficientq_tpu.pallas.stem import (extract_pre_s2d_patches,
-                                                s2d_need_planes)
+        from efficientq_tpu.pallas.stem import prestacked_s2d_extract
         from efficientq_tpu.ptq.deploy import s2d_stem_serving
 
         g, v, stem = s2d_stem_serving(g, v)
         assert stem is not None, "s2d stem rewrite unsupported here"
-        vol = effq_native.s2d_bf16(vol, s2d_need_planes(starts, patch))
-        extract_fn = extract_pre_s2d_patches
+        vol = effq_native.s2d_patches_bf16(vol, starts, patch)
+        extract_fn = prestacked_s2d_extract
         kw = dict(vol_shape=vol_shape)
     vj = jnp.asarray(vol)
 
-    @jax.jit
+    jit_kw = {}
+    if variant.startswith("s2d"):
+        # pin the uploaded patch stack's PARAMETER layout to row-major:
+        # left to itself XLA picks a bespoke parameter layout
+        # ({1,4,3,2,0}) and then relayout-copies it back for the Pallas
+        # stem operand (~1.3 ms/volume)
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        rm = Format(Layout(major_to_minor=(0, 1, 2, 3, 4)),
+                    SingleDeviceSharding(jax.devices()[0]))
+        jit_kw = dict(in_shardings=(None, rm))
+
+    @jax.jit(**jit_kw)
     def infer(v, image):
         def model_fn(xb):
             return nnir.apply(g, v, xb, mode="quantized",

@@ -367,3 +367,67 @@ def test_validate_seg_mesh_multilabel_matches_single_device():
         assert m.keys() == o.keys()
         for k in m:
             assert abs(m[k] - o[k]) < 1e-6, (i, k, m[k], o[k])
+
+
+def test_hybrid_mesh_single_process():
+    """make_hybrid_mesh on one process: (dcn, data) axes, batch shards over
+    BOTH, fsdp shardings stay on the ICI 'data' axis, and the dp+fsdp step
+    matches the 1-D-mesh step exactly (same devices, same math)."""
+    from efficientq_tpu.parallel import (batch_sharding, fsdp_shardings,
+                                         host_local_batch, make_hybrid_mesh)
+
+    cfg, graph, variables = tiny()
+    mesh_h = make_hybrid_mesh(2, 4)
+    assert mesh_h.axis_names == ("dcn", "data")
+    assert batch_sharding(mesh_h).spec == jax.sharding.PartitionSpec(
+        ("dcn", "data"))
+    # fsdp specs never mention the dcn axis (ZeRO gathers stay intra-slice)
+    specs = jax.tree_util.tree_leaves(
+        fsdp_shardings(mesh_h, variables["params"]),
+        is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding))
+    assert all("dcn" not in str(s.spec) for s in specs)
+
+    opt, _ = make_optimizer(1e-3, 100, 10)
+    loss = cross_entropy
+    hw = head_loss_weights(len(graph.outputs))
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 16, 16, 16, 1).astype(np.float32)
+    y = rng.randint(0, 3, (8, 16, 16, 16)).astype(np.int32)
+
+    step_h = data_parallel_train_step(graph, opt, loss, hw, mesh_h, fsdp=True)
+    var_h = replicate(mesh_h, variables)
+    p0 = jax.device_put(var_h["params"], fsdp_shardings(mesh_h,
+                                                        var_h["params"]))
+    o0 = opt.init(p0)
+    _, _, _, lv_h, _ = step_h(p0, var_h["state"], o0,
+                              host_local_batch(mesh_h, x),
+                              host_local_batch(mesh_h, y),
+                              jax.random.PRNGKey(1))
+
+    mesh_1 = make_mesh(8)
+    step_1 = data_parallel_train_step(graph, opt, loss, hw, mesh_1)
+    var_1 = replicate(mesh_1, variables)
+    o1 = opt.init(var_1["params"])
+    _, _, _, lv_1, _ = step_1(var_1["params"], var_1["state"], o1,
+                              shard_batch(mesh_1, jnp.asarray(x)),
+                              shard_batch(mesh_1, jnp.asarray(y)),
+                              jax.random.PRNGKey(1))
+    assert abs(float(lv_h) - float(lv_1)) < 1e-5, (lv_h, lv_1)
+
+
+def test_mesh_shape_cli_flag():
+    from types import SimpleNamespace
+
+    from efficientq_tpu.cli.entrance import build_parser
+    from efficientq_tpu.cli.missions import _make_dp_mesh
+
+    args = build_parser().parse_args(["ptq", "--mesh_shape", "2,4"])
+    assert args.mesh_shape == "2,4" and not args.distributed
+    mesh = _make_dp_mesh(args)
+    assert mesh.shape == {"dcn": 2, "data": 4}
+    # batch divisibility checked against the full mesh
+    import pytest
+
+    bad = SimpleNamespace(mesh_shape="2,4", batch_size=3)
+    with pytest.raises(ValueError):
+        _make_dp_mesh(bad, check_batch=True)
