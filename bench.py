@@ -230,17 +230,16 @@ def main():
 
     # host-s2d serving: the stem runs the fused Pallas s2d kernel
     # (pallas/stem.py — 2.8 ms vs the 6.0 ms XLA stem + 3.0 ms dual-output
-    # pass it absorbs) and the space-to-depth transform that made the
-    # on-device path a net loss (14.9 ms pad/reshape/transpose) runs as a
-    # threaded HOST shuffle (native/effq_native.cpp::s2d_bf16) that
-    # overlaps the previous volume's device compute in pipelined serving.
-    # Reported: device-side throughput + the host transform cost per
-    # volume (the pipelined bound is max(host, device)).
+    # pass it absorbs) and the HOST builds the stem kernel's input patch
+    # stack directly (fused s2d + extraction,
+    # native/effq_native.cpp::s2d_patches_bf16) — the device runs ZERO
+    # extraction (the on-device stack build cost ~1.2 ms/volume in layout
+    # traffic).  Reported: device-side throughput + the host transform
+    # cost per volume (the pipelined bound is max(host, device)).
     s2d_async_vps = host_s2d_ms = None
     try:
         from efficientq_tpu.data import native as effq_native
-        from efficientq_tpu.pallas.stem import (extract_pre_s2d_patches,
-                                                s2d_need_planes)
+        from efficientq_tpu.pallas.stem import prestacked_s2d_extract
 
         starts = patch_grid(vol_shape, patch, overlap)
         stem0 = next((nd for nd in mgraph.nodes
@@ -251,14 +250,13 @@ def main():
             g2 = channels_first_tail(mgraph)
             g2, v2, stem = s2d_stem_serving(g2, mvars)
             if stem is not None:
-                need = s2d_need_planes(starts, patch)
                 # warmup pays the one-time ctypes/make load (r3 charged it
                 # to the transform: 1695 ms reported for a 52 ms kernel)
-                svol = effq_native.s2d_bf16(vol, need)
+                svol = effq_native.s2d_patches_bf16(vol, starts, patch)
                 samples = []
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    effq_native.s2d_bf16(vol, need)
+                    effq_native.s2d_patches_bf16(vol, starts, patch)
                     samples.append((time.perf_counter() - t0) * 1e3)
                 host_s2d_ms = min(samples)
                 svj = jnp.asarray(svol)
@@ -274,7 +272,7 @@ def main():
                         model_fn, sv, patch, overlap,
                         patch_batch=n_patches, channels_first=True,
                         normalize=False,
-                        extract_fn=extract_pre_s2d_patches,
+                        extract_fn=prestacked_s2d_extract,
                         vol_shape=vol_shape)
                     return pred_brats_con_merge(
                         logits[-1], axis=1).astype(jnp.uint8)

@@ -112,20 +112,14 @@ def main():
         kw = dict(vol_shape=vol_shape)
     vj = jnp.asarray(vol)
 
-    jit_kw = {}
-    if variant.startswith("s2d"):
-        # pin the uploaded patch stack's PARAMETER layout to row-major:
-        # left to itself XLA picks a bespoke parameter layout
-        # ({1,4,3,2,0}) and then relayout-copies it back for the Pallas
-        # stem operand (~1.3 ms/volume)
-        from jax.experimental.layout import Format, Layout
-        from jax.sharding import SingleDeviceSharding
-
-        rm = Format(Layout(major_to_minor=(0, 1, 2, 3, 4)),
-                    SingleDeviceSharding(jax.devices()[0]))
-        jit_kw = dict(in_shardings=(None, rm))
-
-    @jax.jit(**jit_kw)
+    # NOTE (r4, measured dead end): XLA picks a bespoke PARAMETER layout
+    # for the uploaded patch stack ({1,4,3,2,0}) and relayout-copies it
+    # back for the Pallas stem operand (~1.3 ms/volume, copy.79).
+    # Pinning the parameter row-major via jax.jit in_shardings +
+    # jax.experimental.layout.Format sends the compile down a
+    # pathological path (>28 min remote, vs ~2 min unpinned; timed out
+    # twice) — accept the copy until the toolchain changes.
+    @jax.jit
     def infer(v, image):
         def model_fn(xb):
             return nnir.apply(g, v, xb, mode="quantized",

@@ -198,3 +198,56 @@ def test_pre_s2d_extract_matches_in_graph_s2d(serving_graphs):
         channels_first=True, normalize=False,
         extract_fn=extract_pre_s2d_patches, vol_shape=vol_shape)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+def test_host_prestack_matches_device_extract():
+    """data/native.py::s2d_patches_bf16 (fused s2d + patch extraction, C++
+    and NumPy fallback) is bit-identical to extract_s2d_patches, and the
+    prestacked serving path (prestacked_s2d_extract) is bit-identical to
+    the device-extract path — zero device-side extraction work."""
+    import efficientq_tpu.data.native as nat
+    from efficientq_tpu.pallas.stem import prestacked_s2d_extract
+
+    vol_shape = (39, 48, 48)
+    patch, overlap = (32, 32, 32), (8, 8, 8)
+    starts = patch_grid(vol_shape, patch, overlap)
+    vol = np.random.RandomState(7).randn(1, *vol_shape, 4).astype(np.float32)
+
+    want, want_par = extract_s2d_patches(jnp.asarray(vol), starts, patch)
+    got = nat.s2d_patches_bf16(vol, starts, patch)
+    np.testing.assert_array_equal(
+        np.asarray(got).view(np.uint16), np.asarray(want).view(np.uint16))
+    if nat.available():  # NumPy fallback leg (f64 input routes around C++)
+        got_np = nat.s2d_patches_bf16(vol.astype(np.float64), starts, patch)
+        np.testing.assert_array_equal(np.asarray(got_np).view(np.uint16),
+                                      np.asarray(want).view(np.uint16))
+    # the extract_fn wrapper: identity on the stack + derived parities
+    stack, par = prestacked_s2d_extract(jnp.asarray(got), starts, patch)
+    assert stack is not None and stack.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(par), np.asarray(want_par))
+
+
+def test_prestacked_serving_end_to_end(serving_graphs):
+    import efficientq_tpu.data.native as nat
+    from efficientq_tpu.pallas.stem import prestacked_s2d_extract
+
+    _, _, sg, sv, stem = serving_graphs
+    vol_shape = (39, 48, 48)
+    patch, overlap = (32, 32, 32), (8, 8, 8)
+    starts = patch_grid(vol_shape, patch, overlap)
+    vol = np.random.RandomState(1).randn(1, *vol_shape, 4).astype(np.float32)
+
+    def model_fn(xb):
+        return nnir.apply(sg, sv, xb, mode="quantized",
+                          compute_dtype=jnp.bfloat16)
+
+    base = sliding_window_inference(
+        model_fn, jnp.asarray(vol), patch, overlap, patch_batch=8,
+        channels_first=True, normalize=False,
+        extract_fn=extract_s2d_patches)
+    stack = jnp.asarray(nat.s2d_patches_bf16(vol, starts, patch))
+    got = sliding_window_inference(
+        model_fn, stack, patch, overlap, patch_batch=8,
+        channels_first=True, normalize=False,
+        extract_fn=prestacked_s2d_extract, vol_shape=vol_shape)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
