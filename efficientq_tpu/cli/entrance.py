@@ -202,6 +202,11 @@ def build_parser() -> argparse.ArgumentParser:
     # jax.export.  The reference's deployment artifact is a weight file
     # that needs the full model code + exact flags to serve
     # (src/models/PTQConv.py:128-143); an artifact serves with neither.
+    parser.add_argument("--export_column_depth", type=int, default=0,
+                        help="with --export_artifact --serve_grid column: "
+                             "the deepest volume D this artifact will "
+                             "serve (column patch D is pinned at export; "
+                             "shallower volumes pad up at serve time)")
     parser.add_argument("--export_artifact", action="store_true",
                         help="ptq/infer: also write serving_artifact.zip "
                              "(jax.export StableHLO of the final-head "

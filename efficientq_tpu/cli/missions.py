@@ -482,8 +482,15 @@ def infer(args):
         art = load_serving_artifact(args.artifact)
         art.check_platform()
         # spatial dims are static in the exported module (only batch may
-        # be symbolic): the serving patch size must match the export's
-        if tuple(ops.triple(hub.slide_patch_size)) != art.patch_size:
+        # be symbolic): the serving patch size must match the export's.
+        # Column artifacts pin their own D (the export-time column depth);
+        # only H/W must match the task patch.
+        want = (art.patch_size[1:]
+                if art.manifest.get("serve_grid") == "column"
+                else art.patch_size)
+        got = tuple(ops.triple(hub.slide_patch_size))
+        got = got[1:] if art.manifest.get("serve_grid") == "column" else got
+        if got != tuple(want):
             raise ValueError(
                 f"--patch_size {tuple(ops.triple(hub.slide_patch_size))} "
                 f"does not match the artifact's {art.patch_size}")
@@ -559,18 +566,42 @@ def _save_artifact(graph, variables, hub, n_mod, n_class, snap_dir, args):
     """Serialize the final-head serving forward next to the weight exports
     (export.py): manifest + jax.export StableHLO in one zip."""
     from .. import export as export_mod
+    from ..eval.sliding import column_grid_plan
+    from ..models.uresq import min_input_divisor
 
     pb = getattr(args, "patch_batch", 0) or 0
     serve_dtype = getattr(args, "serve_dtype", "f32")
+    patch_size = tuple(ops.triple(hub.slide_patch_size))
+    overlap = tuple(ops.triple(hub.slide_overlap))
+    serve_grid = getattr(args, "serve_grid", "patch")
+    column_depth = None
+    if serve_grid == "column":
+        # column serving's patch D is the full (stride-padded) volume
+        # depth — data-dependent, so a column artifact pins it at export
+        # (--export_column_depth, e.g. 155 for standard BraTS volumes).
+        # Shallower volumes pad up at serve time; deeper ones need a new
+        # artifact.
+        depth = getattr(args, "export_column_depth", 0) or 0
+        if depth <= 0:
+            raise ValueError("--export_artifact with --serve_grid column "
+                             "needs --export_column_depth (the deepest "
+                             "volume this artifact will serve)")
+        cfg, _, _ = definer.get_model_config(args)
+        column_depth, patch_size, overlap = column_grid_plan(
+            (depth,) + patch_size[1:], patch_size, overlap,
+            min_input_divisor(cfg)[0])
     exported, batch = export_mod.export_patch_model(
-        graph, variables, hub.slide_patch_size, n_mod,
+        graph, variables, patch_size, n_mod,
         mode="quantized", patch_batch=pb if pb > 0 else 4,
         compute_dtype=jnp.bfloat16 if serve_dtype == "bf16" else None)
     path = P.join(snap_dir, "serving_artifact.zip")
     export_mod.save_serving_artifact(path, exported, {
         "task": args.task,
-        "patch_size": list(ops.triple(hub.slide_patch_size)),
-        "overlap": list(ops.triple(hub.slide_overlap)),
+        "patch_size": list(patch_size),
+        "overlap": list(overlap),
+        "serve_grid": serve_grid,
+        **({"column_depth": int(column_depth)}
+           if column_depth is not None else {}),
         "n_mod": int(n_mod),
         "n_class": int(n_class),
         "batch": batch,

@@ -84,12 +84,22 @@ def validate_seg(
         if num_mo != 1:
             raise ValueError("serving artifacts emit the final head only; "
                              "pass num_mo=1")
-    if serve_grid == "column" and (artifact is not None or mesh is not None):
-        # the artifact's patch shape is pre-lowered and the mesh maker
-        # shards the reference patch grid — both are patch-grid-only
+    if serve_grid == "column" and mesh is not None:
+        # the mesh maker shards the reference patch grid only
         raise ValueError("--serve_grid column does not compose with "
-                         "--artifact or --dp_devices serving")
-    if serve_grid == "column" and not stride_div:
+                         "--dp_devices serving")
+    if artifact is not None:
+        # the artifact's manifest decides the grid (volume_inferencer
+        # handles the column plan internally — the patch shape is
+        # pre-lowered at export); --serve_grid column is only legal when
+        # the artifact was exported for it
+        if serve_grid == "column" and \
+                artifact.manifest.get("serve_grid") != "column":
+            raise ValueError("--serve_grid column with an artifact "
+                             "exported for the patch grid — re-export "
+                             "with --serve_grid column "
+                             "--export_column_depth N")
+    elif serve_grid == "column" and not stride_div:
         # validate before the auto-batch path calls _column_count, which
         # would otherwise die with a TypeError inside column_grid_plan
         # (advisor r3); mirrors make_jitted_volume_inferencer's check

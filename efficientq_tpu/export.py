@@ -146,19 +146,38 @@ class ServingArtifact:
         (same hard-pred semantics; the artifact already emits only the
         final head).  Takes ``(variables, image, patch_size, overlap)``
         with ``variables`` ignored, so eval/validate.py drives it
-        unchanged."""
+        unchanged.
+
+        Column artifacts (manifest ``serve_grid='column'``): the patch D
+        is the export-pinned column depth — volumes pad up to it (deeper
+        volumes need a re-export); the caller's patch/overlap D entries
+        are ignored in favor of the manifest's."""
         from .eval.sliding import sliding_window_inference
 
         model_fn = self.patch_model_fn()
         if patch_batch is None or patch_batch == "auto" or patch_batch <= 0:
             patch_batch = self.batch if self.batch != "symbolic" else 4
+        column = self.manifest.get("serve_grid") == "column"
+        col_d = int(self.manifest.get("column_depth", 0))
 
         @partial(jax.jit, static_argnames=("patch_size", "overlap"))
         def infer(variables, image, patch_size, overlap):
             del variables
+            d = image.shape[1]
+            if column:
+                if d > col_d:
+                    raise ValueError(
+                        f"volume depth {d} exceeds the artifact's pinned "
+                        f"column depth {col_d} — re-export with a larger "
+                        f"--export_column_depth")
+                patch_size = self.patch_size
+                overlap = tuple(self.manifest["overlap"])
+                image = jnp.pad(image, ((0, 0), (0, col_d - d), (0, 0),
+                                        (0, 0), (0, 0)))
             out = sliding_window_inference(model_fn, image, patch_size,
                                            overlap, int(patch_batch),
                                            normalize=not hard_pred)
+            out = out[:, :, :d]  # crop the column pad (no-op for patch)
             if hard_pred:
                 if multilabel:
                     out = (out >= 0).astype(jnp.uint8)

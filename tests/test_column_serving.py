@@ -114,3 +114,64 @@ def test_validate_and_inference_reject_column_without_stride_div():
     with pytest.raises(ValueError, match="stride_div"):
         inference(None, None, [], None, save_dir="/tmp/x",
                   patch_size=16, overlap=4, serve_grid="column")
+
+
+def test_column_artifact_end_to_end(tiny, tmp_path):
+    """Column-mode serving artifact (r4): export the patch forward at the
+    column patch size with the column plan in the manifest; the loaded
+    artifact's volume_inferencer pads/crops D itself and must match live
+    column serving exactly.  Deeper-than-pinned volumes are rejected."""
+    from efficientq_tpu import export as export_mod
+
+    cfg, graph, variables = tiny
+    div = min_input_divisor(cfg)[0]
+    rng = np.random.RandomState(1)
+    vol = jnp.asarray(rng.randn(1, 18, 24, 24, 2).astype(np.float32))
+
+    # column plan for a pinned export depth of 20 (volume D=18 pads up)
+    col_d, cpatch, cov = column_grid_plan((20, 24, 24), (16, 16, 16),
+                                          (4, 4, 4), div)
+    exported, batch = export_mod.export_patch_model(
+        graph, variables, cpatch, 2, mode="fp", patch_batch=3)
+    path = str(tmp_path / "col_artifact.zip")
+    export_mod.save_serving_artifact(path, exported, {
+        "task": "lits", "patch_size": list(cpatch), "overlap": list(cov),
+        "serve_grid": "column", "column_depth": int(col_d),
+        "n_mod": 2, "n_class": 3, "batch": batch, "deploy": "none",
+        "serve_dtype": "f32"})
+
+    art = export_mod.load_serving_artifact(path)
+    assert art.manifest["serve_grid"] == "column"
+    infer_art = art.volume_inferencer(hard_pred=True, multilabel=False)
+    # caller-side patch/overlap are ignored for column artifacts
+    got = infer_art(None, vol, (16, 16, 16), (4, 4, 4))
+
+    live = make_jitted_volume_inferencer(
+        graph, patch_batch=3, mode="fp", serve_grid="column",
+        stride_div=div, heads=slice(-1, None), hard_pred=True)
+    want = live(variables, vol, (16, 16, 16), (4, 4, 4))
+    # same grid family; the artifact pins D=20 vs live pad-to-stride —
+    # both cover the full depth, so hard predictions agree everywhere
+    assert got.shape == want.shape
+    assert (np.asarray(got) == np.asarray(want)).mean() > 0.999
+
+    deep = jnp.asarray(rng.randn(1, 24, 24, 24, 2).astype(np.float32))
+    with pytest.raises(ValueError, match="column depth"):
+        infer_art(None, deep, (16, 16, 16), (4, 4, 4))
+
+
+def test_validate_seg_column_artifact_manifest_gate():
+    """--serve_grid column + a PATCH-grid artifact is a manifest mismatch;
+    a column artifact passes the gate."""
+    from efficientq_tpu.eval.validate import validate_seg
+
+    class FakeArt:
+        manifest = {"serve_grid": "patch"}
+
+    with pytest.raises(ValueError, match="re-export"):
+        validate_seg(None, None, [], None, 1, 3, patch_size=16, overlap=4,
+                     serve_grid="column", artifact=FakeArt())
+    # column artifact: no exception from the gate (empty loader, no work)
+    FakeArt.manifest = {"serve_grid": "column", "column_depth": 20}
+    validate_seg(None, None, [], None, 1, 3, patch_size=16, overlap=4,
+                 serve_grid="column", artifact=FakeArt())
