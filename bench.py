@@ -41,13 +41,16 @@ def _device_watchdog(timeout_s: float = 180.0):
             "value": 0.0, "unit": "volumes/sec", "vs_baseline": 0.0,
             "error": f"device backend unreachable after {timeout_s:.0f}s "
                      "(TPU tunnel outage) — no measurement taken",
-            # the most recent hardware measurement (BENCH_r03.json) so the
+            # the most recent hardware measurement (r4, 2026-08-19) so the
             # round record is not empty; clearly NOT a fresh number
             "last_measured_hw": {
-                "int8_async_vol_per_s": 23.7, "mixed_async_vol_per_s": 24.6,
-                "bf16_async_vol_per_s": 20.7,
-                "mixed_column_async_vol_per_s": 29.1,
-                "device_ms_per_volume": 33.7,
+                "mixed_s2d_hostvol_vol_per_s": 35.5,
+                "mixed_async_vol_per_s": 28.9,
+                "int8_async_vol_per_s": 27.2,
+                "bf16_async_vol_per_s": 22.5,
+                "mixed_column_async_vol_per_s": 33.3,
+                "device_ms_per_volume": 23.1,
+                "mfu_vs_bf16_peak_best": 0.16,
             },
         }))
         sys.exit(0)
@@ -230,16 +233,22 @@ def main():
 
     # host-s2d serving: the stem runs the fused Pallas s2d kernel
     # (pallas/stem.py — 2.8 ms vs the 6.0 ms XLA stem + 3.0 ms dual-output
-    # pass it absorbs) and the HOST builds the stem kernel's input patch
-    # stack directly (fused s2d + extraction,
-    # native/effq_native.cpp::s2d_patches_bf16) — the device runs ZERO
-    # extraction (the on-device stack build cost ~1.2 ms/volume in layout
-    # traffic).  Reported: device-side throughput + the host transform
-    # cost per volume (the pipelined bound is max(host, device)).
-    s2d_async_vps = host_s2d_ms = None
+    # pass it absorbs) with the space-to-depth prep on the HOST.  TWO host
+    # splits, measured separately because the better one depends on host
+    # core count (the pipelined bound is max(host ms, device ms)):
+    #   hostvol  — host transforms the VOLUME (s2d_bf16, ~26 ms 1-core),
+    #              device extracts the patch stack (~1.2 ms layout traffic)
+    #   prestack — host writes the stem kernel's input patch STACK
+    #              directly (s2d_patches_bf16, ~55 ms 1-core: 2x the
+    #              bytes), device runs ZERO extraction (best device time)
+    # On a 1-core rig hostvol's bound wins; on a many-core production host
+    # prestack's device time is the bound and it wins.
+    s2d_probe = {}  # name -> (device_async_vps, host_ms, call)
     try:
         from efficientq_tpu.data import native as effq_native
-        from efficientq_tpu.pallas.stem import prestacked_s2d_extract
+        from efficientq_tpu.pallas.stem import (extract_pre_s2d_patches,
+                                                prestacked_s2d_extract,
+                                                s2d_need_planes)
 
         starts = patch_grid(vol_shape, patch, overlap)
         stem0 = next((nd for nd in mgraph.nodes
@@ -250,40 +259,53 @@ def main():
             g2 = channels_first_tail(mgraph)
             g2, v2, stem = s2d_stem_serving(g2, mvars)
             if stem is not None:
-                # warmup pays the one-time ctypes/make load (r3 charged it
-                # to the transform: 1695 ms reported for a 52 ms kernel)
-                svol = effq_native.s2d_patches_bf16(vol, starts, patch)
-                samples = []
-                for _ in range(3):
+                def host_ms(fn):
+                    # warmup pays the one-time ctypes/make load (r3 charged
+                    # it to the transform: 1695 ms for a 26 ms kernel)
+                    out = fn()
+                    samples = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        fn()
+                        samples.append((time.perf_counter() - t0) * 1e3)
+                    return out, min(samples)
+
+                def run_variant(name, host_fn, extract_fn):
+                    host_out, ms = host_ms(host_fn)
+                    sj = jnp.asarray(host_out)
+
+                    @jax.jit
+                    def infer_fn(v, sv):
+                        def model_fn(xb):
+                            return nnir.apply(g2, v, xb, mode="quantized",
+                                              compute_dtype=jnp.bfloat16,
+                                              keep_head_dtype=True)
+
+                        logits = sliding_window_inference(
+                            model_fn, sv, patch, overlap,
+                            patch_batch=n_patches, channels_first=True,
+                            normalize=False, extract_fn=extract_fn,
+                            vol_shape=vol_shape)
+                        return pred_brats_con_merge(
+                            logits[-1], axis=1).astype(jnp.uint8)
+
+                    call = jax.tree_util.Partial(infer_fn, v2)
+                    seg = np.asarray(call(sj))
+                    assert seg.shape == (1, *vol_shape)
                     t0 = time.perf_counter()
-                    effq_native.s2d_patches_bf16(vol, starts, patch)
-                    samples.append((time.perf_counter() - t0) * 1e3)
-                host_s2d_ms = min(samples)
-                svj = jnp.asarray(svol)
+                    outs = [call(sj) for _ in range(iters)]
+                    jax.block_until_ready(outs)
+                    vps = iters / (time.perf_counter() - t0)
+                    s2d_probe[name] = (vps, ms, lambda: call(sj))
 
-                @jax.jit
-                def infer_s2d(v, sv):
-                    def model_fn(xb):
-                        return nnir.apply(g2, v, xb, mode="quantized",
-                                          compute_dtype=jnp.bfloat16,
-                                          keep_head_dtype=True)
-
-                    logits = sliding_window_inference(
-                        model_fn, sv, patch, overlap,
-                        patch_batch=n_patches, channels_first=True,
-                        normalize=False,
-                        extract_fn=prestacked_s2d_extract,
-                        vol_shape=vol_shape)
-                    return pred_brats_con_merge(
-                        logits[-1], axis=1).astype(jnp.uint8)
-
-                infer_s2d_p = jax.tree_util.Partial(infer_s2d, v2)
-                segs2d = np.asarray(infer_s2d_p(svj))
-                assert segs2d.shape == (1, *vol_shape)
-                t0 = time.perf_counter()
-                outs = [infer_s2d_p(svj) for _ in range(iters)]
-                jax.block_until_ready(outs)
-                s2d_async_vps = iters / (time.perf_counter() - t0)
+                need = s2d_need_planes(starts, patch)
+                run_variant("mixed_s2d_hostvol",
+                            lambda: effq_native.s2d_bf16(vol, need),
+                            extract_pre_s2d_patches)
+                run_variant("mixed_s2d_prestack",
+                            lambda: effq_native.s2d_patches_bf16(
+                                vol, starts, patch),
+                            prestacked_s2d_extract)
     except Exception as e:  # pragma: no cover - hardware-path guard
         print(f"# host-s2d probe skipped: {e!r}", file=sys.stderr)
 
@@ -359,19 +381,18 @@ def main():
         "int8_pallas_async": (int8_async_vps, lambda: infer_int8(vj)),
         "mixed_int8_3x3_async": (mixed_async_vps, lambda: infer_mixed(vj)),
     }
-    s2d_effective_vps = None
-    if s2d_async_vps:
-        # same patch grid as the reference (grid-parity); numerics differ
-        # only at bf16 reduction-order level, like --serve_dtype bf16.
-        # Headline eligibility uses the PIPELINE bound: the host transform
-        # overlaps device compute, so sustained throughput is
-        # min(device rate, host rate) — on a many-core production host the
-        # threaded transform is far below device time, but THIS rig has
-        # one core, and quoting device-only throughput while the host
-        # gates the pipeline would overstate the deliverable.
-        s2d_effective_vps = min(s2d_async_vps, 1000.0 / host_s2d_ms)
-        async_variants["mixed_s2d_host_async"] = (
-            s2d_effective_vps, lambda: infer_s2d_p(svj))
+    # s2d variants: same patch grid as the reference (grid-parity);
+    # numerics differ only at bf16 reduction-order level, like
+    # --serve_dtype bf16.  Headline eligibility uses the PIPELINE bound:
+    # the host transform overlaps device compute, so sustained throughput
+    # is min(device rate, host rate) — on a many-core production host the
+    # threaded transform is far below device time, but THIS rig has one
+    # core, and quoting device-only throughput while the host gates the
+    # pipeline would overstate the deliverable.
+    s2d_effective = {name: min(vps, 1000.0 / ms)
+                     for name, (vps, ms, _) in s2d_probe.items()}
+    for name, (vps, ms, call) in s2d_probe.items():
+        async_variants[name + "_async"] = (s2d_effective[name], call)
     headline_variant = max(async_variants, key=lambda k: async_variants[k][0])
     tpu_volumes_per_sec, headline_call = async_variants[headline_variant]
 
@@ -446,9 +467,10 @@ def main():
         # column serving runs FEWER flops per volume (no D-overlap
         # recompute) — its MFU uses its own flop count
         "mixed_column_async": flops_column * col_async_vps / PEAK_BF16,
-        **({"mixed_s2d_host_async":
-            flops_volume * s2d_async_vps / PEAK_BF16}
-           if s2d_async_vps else {}),
+        # s2d variants: MFU from the DEVICE rate (device utilization is
+        # host-count-independent; the effective rate is reported below)
+        **{name + "_async": flops_volume * vps / PEAK_BF16
+           for name, (vps, _, _) in s2d_probe.items()},
     }
 
     # torch CPU FP32 baseline: one 128^3 patch through the same graph,
@@ -495,19 +517,21 @@ def main():
             "mixed_int8_3x3_async": round(mixed_async_vps, 4),
             "mixed_column_async": round(col_async_vps, 4),
             "mixed_int8_3x3_async_3vol_batch": round(mixed_async3_vps, 4),
-            # _async = device-only rate; _effective = pipeline bound
+            # _device = device-only rate; _effective = pipeline bound
             # min(device, host transform) — what a 1-core host sustains
-            **({"mixed_s2d_host_async": round(s2d_async_vps, 4),
-                "mixed_s2d_host_effective": round(s2d_effective_vps, 4)}
-               if s2d_async_vps else {}),
+            **{k: round(v, 4) for name, (vps, _, _) in s2d_probe.items()
+               for k, v in ((name + "_device", vps),
+                            (name + "_effective", s2d_effective[name]))},
             **({"artifact_async": round(artifact_async_vps, 4),
                 "live_jit_async": round(live_jit_async_vps, 4)}
                if artifact_async_vps else {}),
         },
         # host-side s2d transform cost per volume (overlaps device compute
-        # in pipelined serving; the pipeline bound is max(host, device))
-        **({"host_s2d_ms_per_volume": round(host_s2d_ms, 1)}
-           if host_s2d_ms is not None else {}),
+        # in pipelined serving; the pipeline bound is max(host, device));
+        # single-core numbers — the transforms thread on production hosts
+        **({"host_s2d_ms_per_volume":
+            {name: round(ms, 1) for name, (_, ms, _) in s2d_probe.items()}}
+           if s2d_probe else {}),
         # synchronous per-volume dispatch: dominated by the dev tunnel's
         # per-call RTT, kept ONLY as a tunnel-health diagnostic
         "tunnel_diagnostics_sync": {

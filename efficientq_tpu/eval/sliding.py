@@ -80,21 +80,33 @@ def stitch_patches(preds: jax.Array, starts, vol_shape,
     serving the visit count is a positive per-voxel scalar shared by all
     classes, so sigmoid(avg) >= 0.5 and argmax decisions are unchanged —
     skipping the division saves a full-volume pass."""
+    # The canvas is a left-to-right SUM of zero-padded patches rather than
+    # a dynamic-update-slice chain: XLA alternated in-place fused adds
+    # (0.04 ms) with whole-canvas ping-pong copies (0.58 ms each, ~2 ms of
+    # the flagship's 24 ms serving graph); the padded sum is one loop
+    # fusion that reads each patch once and writes the canvas once.
+    # Bit-identical to the DUS chain: every voxel receives the same
+    # addends in the same order plus exact +0.0 terms.
     d, h, w = vol_shape
     if channels_first:
         P, M, N, C, pd, ph, pw = preds.shape
-        canvas = jnp.zeros((M, N, C, d, h, w), preds.dtype)
+        canvas = None
         for idx, (i, j, k) in enumerate(starts):
-            canvas = canvas.at[:, :, :, i:i + pd, j:j + ph,
-                               k:k + pw].add(preds[idx])
+            padded = jnp.pad(preds[idx],
+                             ((0, 0), (0, 0), (0, 0), (i, d - i - pd),
+                              (j, h - j - ph), (k, w - k - pw)))
+            canvas = padded if canvas is None else canvas + padded
         if not normalize:
             return canvas
         counter = visit_counter(starts, (pd, ph, pw), vol_shape)
         return canvas / counter[None, None, None]
     P, M, N, pd, ph, pw, C = preds.shape
-    canvas = jnp.zeros((M, N, d, h, w, C), preds.dtype)
+    canvas = None
     for idx, (i, j, k) in enumerate(starts):
-        canvas = canvas.at[:, :, i:i + pd, j:j + ph, k:k + pw, :].add(preds[idx])
+        padded = jnp.pad(preds[idx],
+                         ((0, 0), (0, 0), (i, d - i - pd),
+                          (j, h - j - ph), (k, w - k - pw), (0, 0)))
+        canvas = padded if canvas is None else canvas + padded
     if not normalize:
         return canvas
     counter = visit_counter(starts, (pd, ph, pw), vol_shape)
