@@ -202,6 +202,18 @@ def build_parser() -> argparse.ArgumentParser:
     # jax.export.  The reference's deployment artifact is a weight file
     # that needs the full model code + exact flags to serve
     # (src/models/PTQConv.py:128-143); an artifact serves with neither.
+    # ours: host-s2d serving — the init conv as the fused space-to-depth
+    # Pallas stem with the s2d transform on the HOST (threaded C++,
+    # data/native.py), the fastest measured serving mode (bench.py
+    # mixed_s2d_hostvol).  Needs --deploy int8|mixed (or a ptq run's
+    # deployed graph); falls back to the direct path per volume when the
+    # geometry doesn't support it.  Numerics: bf16-reduction-order level,
+    # like --serve_dtype bf16.
+    parser.add_argument("--serve_stem", choices=["direct", "s2d"],
+                        default="direct",
+                        help="'s2d': fused space-to-depth Pallas stem with "
+                             "a host-side transform (fastest serving mode; "
+                             "patch grid, single device)")
     parser.add_argument("--export_column_depth", type=int, default=0,
                         help="with --export_artifact --serve_grid column: "
                              "the deepest volume D this artifact will "

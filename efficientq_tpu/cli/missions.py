@@ -93,7 +93,8 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                           merge_label_func=hub.merge_label_func,
                           multilabel_fusetype=hub.multilabel_fusetype,
                           compute_dtype=serve_dtype,
-                          serve_grid=serve_grid, stride_div=stride_div)
+                          serve_grid=serve_grid, stride_div=stride_div,
+                          serve_stem=getattr(args, "serve_stem", "direct"))
         with open(P.join(save_dir, f"{split}_seg.txt"), "w") as f:
             for i in range(-1, -num_mo - 1, -1):
                 sm[i].write_metric(f, "Output %d:" % i, is_indiv=True)

@@ -56,6 +56,7 @@ def validate_seg(
     serve_grid="patch",
     stride_div=None,
     tune_serving="auto",
+    serve_stem="direct",
 ) -> List[SegMetricMC]:
     """Evaluate on a loader of (N, C, D, H, W) numpy batches.
 
@@ -105,6 +106,11 @@ def validate_seg(
         # (advisor r3); mirrors make_jitted_volume_inferencer's check
         raise ValueError("serve_grid='column' needs stride_div "
                          "(models.uresq.min_input_divisor's D entry)")
+    if serve_stem == "s2d" and (artifact is not None or mesh is not None
+                                or serve_grid == "column"):
+        raise ValueError("--serve_stem s2d composes with the patch grid on "
+                         "a single device only (not --artifact / "
+                         "--dp_devices / --serve_grid column)")
     sm = [SegMetricMC(n_class, sn_list, is_cc=is_cc) for _ in range(num_mo)]
     multilabel = None  # set from the first batch's label rank
 
@@ -146,7 +152,12 @@ def validate_seg(
     # in-flight prediction canvas of device memory.
     pending = None
     for images, masks in iter(loader):
-        x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
+        if serve_stem == "s2d":
+            # host-side NDHWC: the s2d inferencer transforms on the HOST
+            # before upload (a device round-trip would defeat the point)
+            x = np.moveaxis(np.asarray(images), 1, -1)
+        else:
+            x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
         if multilabel is None:
             # label (N, C, D, H, W) -> per-class sigmoid path; (N, D, H, W)
             # -> argmax path (same rank rule as evaluate_append)
@@ -163,6 +174,24 @@ def validate_seg(
                     graph, mesh, mode=mode, precision=precision,
                     hard_pred=True, multilabel=multilabel,
                     compute_dtype=compute_dtype)
+            elif serve_stem == "s2d":
+                from ..ptq.deploy import make_s2d_volume_inferencer
+
+                infer = make_s2d_volume_inferencer(
+                    graph, variables, patch_batch=patch_batch,
+                    hard_pred=True, multilabel=multilabel,
+                    compute_dtype=compute_dtype or jnp.bfloat16)
+                if infer is None:
+                    # no eligible stem (e.g. --deploy none): serve direct
+                    print("serve_stem=s2d: no eligible stem on this "
+                          "graph (needs a 3^3-stride-2 init conv feeding "
+                          "an int8 Pallas consumer — use --deploy "
+                          "int8|mixed — and >= 32 channels on TPU); "
+                          "falling back to the direct path")
+                    infer = make_jitted_volume_inferencer(
+                        graph, patch_batch=8, mode=mode,
+                        precision=precision, hard_pred=True,
+                        multilabel=multilabel, compute_dtype=compute_dtype)
             else:
                 pb = patch_batch
                 if pb == "auto":
@@ -222,10 +251,15 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
               restore_shape_func=None, restore_infokw=None,
               merge_label_func=None, multilabel_fusetype=None,
               patch_batch="auto", artifact=None, compute_dtype=None,
-              serve_grid="patch", stride_div=None, tune_serving="auto"):
+              serve_grid="patch", stride_div=None, tune_serving="auto",
+              serve_stem="direct"):
     """Label-free inference + NIfTI export (validate.py:266-303).  With
     ``artifact`` (export.ServingArtifact) the forward runs from the
     serialized module; graph/variables may be None."""
+    if serve_stem == "s2d" and (artifact is not None
+                                or serve_grid == "column"):
+        raise ValueError("--serve_stem s2d composes with the patch grid on "
+                         "a single device only")
     if not save_dir:
         print("No save directory specified for final true test inference!")
         return
@@ -258,12 +292,30 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
     # volume i overlaps the device computing volume i+1
     pending = None
     for images, _ in iter(loader):
-        x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
+        if serve_stem == "s2d":
+            x = np.moveaxis(np.asarray(images), 1, -1)  # host NDHWC
+        else:
+            x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
         if infer is None:
             if artifact is not None:
                 infer = artifact.volume_inferencer(patch_batch=patch_batch,
                                                    hard_pred=True,
                                                    multilabel=multilabel)
+            elif serve_stem == "s2d":
+                from ..ptq.deploy import make_s2d_volume_inferencer
+
+                infer = make_s2d_volume_inferencer(
+                    graph, variables, patch_batch=patch_batch,
+                    hard_pred=True, multilabel=multilabel,
+                    compute_dtype=compute_dtype or jnp.bfloat16)
+                if infer is None:
+                    print("serve_stem=s2d: no eligible stem (needs "
+                          "--deploy int8|mixed and >= 32 channels on "
+                          "TPU) — direct path")
+                    infer = make_jitted_volume_inferencer(
+                        graph, patch_batch=8, mode=mode, heads=final_head,
+                        hard_pred=True, multilabel=multilabel,
+                        compute_dtype=compute_dtype)
             else:
                 pb = patch_batch
                 if pb == "auto":
@@ -300,7 +352,7 @@ def true_test_inference(graph, variables, data, save_dir, mode="fp",
                         patch_batch="auto", multilabel_fusetype=None,
                         artifact=None, compute_dtype=None,
                         serve_grid="patch", stride_div=None,
-                        tune_serving="auto"):
+                        tune_serving="auto", serve_stem="direct"):
     """Label-free export of the true-test split — the reference's
     ``inference_final`` (trainer.py:253-270,307; suffix '' as trainer.test
     passes it).  Shared by the mission driver and the Tester."""
@@ -318,7 +370,8 @@ def true_test_inference(graph, variables, data, save_dir, mode="fp",
               merge_label_func=data.merge_label_func,
               multilabel_fusetype=multilabel_fusetype, artifact=artifact,
               compute_dtype=compute_dtype, serve_grid=serve_grid,
-              stride_div=stride_div, tune_serving=tune_serving)
+              stride_div=stride_div, tune_serving=tune_serving,
+              serve_stem=serve_stem)
 
 
 def restore_crop(crop, pmin, pmax, shape):

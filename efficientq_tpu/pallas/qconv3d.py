@@ -356,12 +356,18 @@ def qconv3x3_int8_ndhwc(
                 tz = t
                 break
 
-    if est_vmem(1, 0) > 12 * 1024 * 1024:
-        # plane too large for one program even at tz=1 (e.g. 128x128 planes
-        # of a whole-volume 256^2 serving pass): run the same integer conv
-        # + epilogues through XLA instead of dying in the Mosaic allocator.
-        # H/W-splitting the plane would need 1-row halos that BlockSpec
-        # offsets (block-granular) cannot express.
+    if est_vmem(1, 0) > 12 * 1024 * 1024 or (
+            not interpret and (c < 32 or o < 32)):
+        # Route to the XLA realization of the same fused semantics when
+        # (a) the plane exceeds the per-program VMEM budget even at tz=1
+        # (e.g. 128x128 planes of a whole-volume 256^2 serving pass —
+        # H/W-splitting would need 1-row halos that block-granular
+        # BlockSpec offsets cannot express), or (b) the channel counts are
+        # below a vector register (C/O < 32): Mosaic fails to lower the
+        # im2col reshape at toy widths (measured: the 4-channel tiny-net
+        # drive dies in the remote compiler), and such layers are a
+        # rounding error of the FLOPs anyway — every preset's 3^3 convs
+        # are >= 32 channels.
         return _xla_qconv3x3(qa, w_codes, bias, scale, dil, out_dtype,
                              residual, residual_relu, qalpha, quant_qlvl,
                              pool)

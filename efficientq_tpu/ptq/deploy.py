@@ -167,6 +167,16 @@ def s2d_stem_serving(graph: Graph, variables):
             and a["padding"] == (1, 1, 1) and a["dilation"] == (1, 1, 1)
             and a["groups"] == 1):
         return skip
+    if 8 * a["in_ch"] < 32 or a["out_ch"] < 32:
+        # s2d channels (8C) or output below a vector register: real Mosaic
+        # fails to lower toy-width kernels (same class as the qconv3d
+        # narrow-channel fallback) — serve the direct stem there.
+        # Interpret-mode Pallas (CPU tests) lowers fine, so the guard is
+        # backend-scoped.
+        import jax
+
+        if jax.default_backend() == "tpu":
+            return skip
     # follow the identity chain to the stem's relu.  After
     # pallas/epilogue.py::_elide_relus the chain end fans out (the relu is
     # dead and its former consumers read the chain directly), so accept a
@@ -249,3 +259,87 @@ def s2d_stem_serving(graph: Graph, variables):
     g2 = Graph(new_nodes, list(graph.outputs), graph.input_name)
     return g2, {"params": params,
                 "state": variables.get("state", {})}, g2.node(stem.name)
+
+
+def make_s2d_volume_inferencer(graph: Graph, variables, *,
+                               patch_batch="auto", hard_pred: bool = True,
+                               multilabel: bool = False,
+                               compute_dtype=jnp.bfloat16):
+    """Host-s2d serving (--serve_stem s2d): the product analogue of the
+    bench's fastest mode.
+
+    The init conv runs as the fused space-to-depth Pallas stem
+    (s2d_stem_serving) and the space-to-depth transform runs on the HOST
+    (data/native.py::s2d_bf16, threaded C++ with NumPy fallback),
+    overlapping the previous volume's device compute in validate_seg's
+    1-deep pipeline — the on-device transform was measured a net loss
+    (14.9 ms relayout, docs/kernels.md).
+
+    Returns ``infer(variables_ignored, image, patch_size, overlap)``
+    accepting a HOST (numpy NDHWC) volume, with the same output contract
+    as eval.sliding.make_jitted_volume_inferencer, or ``None`` when the
+    graph has no eligible stem (not a 3^3-stride-2 init conv feeding an
+    int8 Pallas consumer — i.e. use --deploy int8|mixed first).  Volumes
+    whose geometry the s2d grid cannot serve (odd H/W starts or extents)
+    fall back to the direct inferencer per volume.
+    """
+    import jax
+    from functools import partial
+
+    from .. import nnir, ops
+    from ..data import native as effq_native
+    from ..eval.sliding import (make_jitted_volume_inferencer, patch_grid,
+                                sliding_window_inference)
+    from ..pallas.stem import (extract_pre_s2d_patches, s2d_need_planes,
+                               s2d_supported)
+
+    stem0 = next((n for n in graph.nodes
+                  if n.op == "conv" and n.inputs == (graph.input_name,)),
+                 None)
+    g2, v2, stem = s2d_stem_serving(graph, variables)
+    if stem is None:
+        return None
+    stem_attrs = stem0.attrs
+
+    keep_hd = bool(hard_pred and compute_dtype is not None)
+    fallback = make_jitted_volume_inferencer(
+        graph, patch_batch=8 if patch_batch == "auto" else patch_batch,
+        mode="quantized", hard_pred=hard_pred, multilabel=multilabel,
+        compute_dtype=compute_dtype)
+
+    @partial(jax.jit, static_argnames=("patch_size", "overlap", "vol_shape",
+                                       "pb"))
+    def run(v, sv, patch_size, overlap, vol_shape, pb):
+        def model_fn(xb):
+            return nnir.apply(g2, v, xb, mode="quantized",
+                              compute_dtype=compute_dtype,
+                              keep_head_dtype=keep_hd)
+
+        out = sliding_window_inference(
+            model_fn, sv, patch_size, overlap, pb,
+            normalize=not hard_pred, extract_fn=extract_pre_s2d_patches,
+            vol_shape=vol_shape)
+        if hard_pred:
+            if multilabel:
+                return (out >= 0).astype(jnp.uint8)
+            return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+        return out
+
+    def infer(variables_ignored, image, patch_size, overlap):
+        del variables_ignored  # weights are baked into the rewritten graph
+        image = np.asarray(image)
+        patch_size = tuple(ops.triple(patch_size))
+        overlap = tuple(ops.triple(overlap))
+        vol_shape = tuple(image.shape[1:4])
+        starts = patch_grid(vol_shape, patch_size, overlap)
+        if not s2d_supported(starts, patch_size, vol_shape, stem_attrs):
+            return fallback(variables, jnp.asarray(image), patch_size,
+                            overlap)
+        svol = effq_native.s2d_bf16(image.astype(np.float32, copy=False),
+                                    s2d_need_planes(starts, patch_size))
+        pb = (len(starts) * image.shape[0] if patch_batch == "auto"
+              else int(patch_batch))
+        return run(v2, jnp.asarray(svol), patch_size, overlap, vol_shape,
+                   pb)
+
+    return infer

@@ -251,3 +251,72 @@ def test_prestacked_serving_end_to_end(serving_graphs):
         channels_first=True, normalize=False,
         extract_fn=prestacked_s2d_extract, vol_shape=vol_shape)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+def test_make_s2d_volume_inferencer_product_path():
+    """--serve_stem s2d product inferencer (ptq/deploy.py): host transform
+    + fused stem, same output contract as make_jitted_volume_inferencer;
+    hard predictions match the direct path; unsupported volume geometries
+    fall back to the direct path exactly."""
+    from efficientq_tpu.eval.sliding import make_jitted_volume_inferencer
+    from efficientq_tpu.ptq.deploy import make_s2d_volume_inferencer
+
+    cfg = UResQConfig(num_mod=4, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[8, 16, 8], dilation_config=[1, 1, 1],
+                      init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid",
+                      ds="simple", quantize=True, qlvl_w=4, qlvl_act=4,
+                      q_first=(256, -1), q_last=(256, -1))
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    fg, fv = fold_bn(graph, variables)
+    for node in fg.qconv_nodes():
+        qcfg = node.attrs["qcfg"]
+        p = fv["params"][node.name]
+        if qcfg.q_weight:
+            alpha = jnp.maximum(jnp.max(jnp.abs(p["kernel"])), 1e-8)
+            p["kernel"] = fake_quant_weight(p["kernel"], alpha, qcfg.qlvl_w)
+            p["alpha_w"] = alpha
+        if qcfg.q_act:
+            p["alpha_act"] = jnp.float32(1.0)
+    ig, iv = to_int8_inference(fg, fv, pallas=True)
+
+    infer_s2d = make_s2d_volume_inferencer(ig, iv, multilabel=True)
+    assert infer_s2d is not None
+    infer_direct = make_jitted_volume_inferencer(
+        ig, patch_batch=8, mode="quantized", hard_pred=True,
+        multilabel=True, compute_dtype=jnp.bfloat16)
+
+    vol = np.random.RandomState(0).randn(1, 39, 48, 48, 4).astype(np.float32)
+    got = np.asarray(infer_s2d(None, np.moveaxis(
+        np.moveaxis(vol, -1, 1), 1, -1), (32, 32, 32), (8, 8, 8)))
+    want = np.asarray(infer_direct(iv, jnp.asarray(vol), (32, 32, 32),
+                                   (8, 8, 8)))
+    assert got.shape == want.shape
+    assert (got == want).mean() > 0.999  # bf16 reduction-order level
+
+    # unsupported geometry (odd H start in the grid): per-volume fallback
+    vol_odd = np.random.RandomState(1).randn(1, 39, 47, 48, 4)
+    vol_odd = vol_odd.astype(np.float32)
+    # H=47 is odd -> s2d_supported False; must still serve (direct path)
+    got_f = np.asarray(infer_s2d(None, vol_odd, (32, 32, 32), (8, 8, 8)))
+    want_f = np.asarray(infer_direct(iv, jnp.asarray(vol_odd), (32, 32, 32),
+                                     (8, 8, 8)))
+    np.testing.assert_array_equal(got_f, want_f)
+
+    # an FP graph has no eligible stem -> None (validate_seg falls back)
+    assert make_s2d_volume_inferencer(fg, fv) is None
+
+
+def test_cli_serve_stem_flag():
+    from efficientq_tpu.cli.entrance import build_parser
+
+    args = build_parser().parse_args(["infer", "--serve_stem", "s2d"])
+    assert args.serve_stem == "s2d"
+    assert build_parser().parse_args(["ptq"]).serve_stem == "direct"
+
+    from efficientq_tpu.eval.validate import validate_seg
+    import pytest
+
+    with pytest.raises(ValueError, match="serve_stem"):
+        validate_seg(None, None, [], None, 1, 3, patch_size=16, overlap=4,
+                     serve_stem="s2d", serve_grid="column", stride_div=8)
