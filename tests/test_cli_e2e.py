@@ -260,3 +260,42 @@ def test_incompatible_spatial_shapes_rejected(workdir, monkeypatch):
     with pytest.raises(ValueError, match="--lwq_patchsz.*multiples"):
         main(["ptq", *base, "--patch_size", "8,8,8", "--qconv", "effq",
               "--pretrain", "unused.pkl", "--lwq_patchsz", "6,6,6"])
+
+
+def test_mesh_shape_and_serve_stem_cli(workdir, monkeypatch, capsys):
+    """Round-4 surfaces through the product CLI: --mesh_shape D,I trains
+    on a hybrid (dcn x ici) mesh (single-process here: 2x4 over the 8
+    virtual CPU devices) and --serve_stem s2d falls back gracefully on a
+    graph with no eligible stem (CPU backend: no Pallas int8 consumer)."""
+    root, data_dir, split_dir = workdir
+    monkeypatch.chdir(root)
+
+    snap = main([
+        "train_fp", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1",
+        "--patch_size", "8,8,8", "--batch_size", "8", "--crop_type",
+        "random", "--loss", "hybrid", "--lr", "0.01", "--max_epoch", "2",
+        "--test_interval", "5", "--disp_interval", "1",
+        "--access_type", "npy", "--no_test", "--mesh_shape", "2,4",
+        "--fsdp", "--suffix", "hybrid", *TINY_MODEL,
+    ])
+    assert glob.glob(P.join(snap, "state_0002.pkl")), os.listdir(snap)
+    out = capsys.readouterr().out
+    assert "Hybrid data mesh dcn=2 x ici=4" in out
+
+    ckpt = glob.glob(P.join(snap, "state_0002.pkl"))[0]
+    snap_ptq = main([
+        "ptq", "--task", "lits", "--data_dir", data_dir,
+        "--split_dir", split_dir, "--round", "1", "--pretrain", ckpt,
+        "--patch_size", "8,8,8", "--access_type", "npy",
+        "--qconv", "effq", "--qlvl_w", "4", "--qlvl_a", "4",
+        "--q_first", "256,-1", "--q_last", "256,-1",
+        "--lwq_patchsz", "16,16,16", "--lwq_iter", "3",
+        "--serve_stem", "s2d", "--serve_dtype", "bf16",
+        "--suffix", "s2dserve", *TINY_MODEL,
+    ])
+    out = capsys.readouterr().out
+    # no eligible stem on the CPU fake-quant graph -> printed fallback,
+    # and the eval still completes with metric files
+    assert "serve_stem=s2d: no eligible stem" in out
+    assert P.isfile(P.join(snap_ptq, "ptq", "val_seg.txt"))
