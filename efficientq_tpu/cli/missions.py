@@ -30,9 +30,14 @@ def _make_dp_mesh(args, check_batch: bool = False):
         from ..parallel import make_hybrid_mesh
 
         n_dcn, n_ici = (int(v) for v in shape.split(","))
-        if check_batch and args.batch_size % (n_dcn * n_ici) != 0:
-            raise ValueError(f"batch_size {args.batch_size} not divisible "
-                             f"by mesh {n_dcn}x{n_ici}")
+        # --batch_size is PER PROCESS (each process's loader contributes
+        # its shard, parallel/mesh.py::host_local_batch): it must divide
+        # this process's share of the mesh
+        local_share = (n_dcn * n_ici) // max(jax.process_count(), 1)
+        if check_batch and args.batch_size % max(local_share, 1) != 0:
+            raise ValueError(f"batch_size {args.batch_size} (per process) "
+                             f"not divisible by this process's "
+                             f"{local_share} mesh devices")
         mesh = make_hybrid_mesh(n_dcn, n_ici)
         print(f"Hybrid data mesh dcn={n_dcn} x ici={n_ici}: {mesh}")
         return mesh
@@ -110,7 +115,9 @@ def _final_test(graph, variables, hub, num_mo, n_class, save_dir, args,
                                                  "auto"),
                             multilabel_fusetype=hub.multilabel_fusetype,
                             compute_dtype=serve_dtype,
-                            serve_grid=serve_grid, stride_div=stride_div)
+                            serve_grid=serve_grid, stride_div=stride_div,
+                            serve_stem=getattr(args, "serve_stem",
+                                               "direct"))
 
 
 def train_fp(args):

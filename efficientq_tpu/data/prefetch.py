@@ -15,6 +15,7 @@ from typing import Iterable, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class PrefetchLoader:
@@ -57,16 +58,41 @@ class PrefetchLoader:
             yield item
 
 
-def device_feed(loader: Iterable, transform=None, device: Optional[jax.Device] = None):
+def device_feed(loader: Iterable, transform=None,
+                device: Optional[jax.Device] = None, mesh=None):
     """Iterate ``loader`` keeping the next batch's host->device transfer in
-    flight while the caller consumes the current one (double buffering)."""
+    flight while the caller consumes the current one (double buffering).
+
+    With ``mesh`` each batch is placed batch-axis-sharded on the mesh
+    (parallel/mesh.py::host_local_batch): on a multi-process mesh the
+    loader's batches are THIS process's shard of the global batch —
+    required for jit over non-addressable devices, where an uncommitted
+    single-device array cannot feed a globally-sharded computation."""
     it = iter(loader)
 
-    def put(item):
-        if transform is not None:
-            item = transform(item)
-        return jax.tree.map(
-            lambda a: jax.device_put(jnp.asarray(a), device), item)
+    if mesh is not None:
+        from ..parallel.mesh import host_local_batch
+
+        full = {"n": None}
+
+        def put(item):
+            if transform is not None:
+                item = transform(item)
+            leading = jax.tree_util.tree_leaves(item)[0].shape[0]
+            if full["n"] is None:
+                full["n"] = leading
+            if leading != full["n"]:
+                # partial final batch: cannot shard over the mesh
+                # (drop-last semantics, standard for data parallelism)
+                return None
+            return jax.tree.map(
+                lambda a: host_local_batch(mesh, np.asarray(a)), item)
+    else:
+        def put(item):
+            if transform is not None:
+                item = transform(item)
+            return jax.tree.map(
+                lambda a: jax.device_put(jnp.asarray(a), device), item)
 
     try:
         pending = put(next(it))
@@ -74,6 +100,8 @@ def device_feed(loader: Iterable, transform=None, device: Optional[jax.Device] =
         return
     for item in it:
         nxt = put(item)
-        yield pending
+        if pending is not None:
+            yield pending
         pending = nxt
-    yield pending
+    if pending is not None:
+        yield pending

@@ -188,8 +188,10 @@ def validate_seg(
                           "an int8 Pallas consumer — use --deploy "
                           "int8|mixed — and >= 32 channels on TPU); "
                           "falling back to the direct path")
+                    pb = (8 if patch_batch in ("auto", 0, None)
+                          else int(patch_batch))
                     infer = make_jitted_volume_inferencer(
-                        graph, patch_batch=8, mode=mode,
+                        graph, patch_batch=pb, mode=mode,
                         precision=precision, hard_pred=True,
                         multilabel=multilabel, compute_dtype=compute_dtype)
             else:
@@ -307,13 +309,16 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
                 infer = make_s2d_volume_inferencer(
                     graph, variables, patch_batch=patch_batch,
                     hard_pred=True, multilabel=multilabel,
-                    compute_dtype=compute_dtype or jnp.bfloat16)
+                    compute_dtype=compute_dtype or jnp.bfloat16,
+                    heads=final_head)
                 if infer is None:
                     print("serve_stem=s2d: no eligible stem (needs "
                           "--deploy int8|mixed and >= 32 channels on "
                           "TPU) — direct path")
+                    pb = (8 if patch_batch in ("auto", 0, None)
+                          else int(patch_batch))
                     infer = make_jitted_volume_inferencer(
-                        graph, patch_batch=8, mode=mode, heads=final_head,
+                        graph, patch_batch=pb, mode=mode, heads=final_head,
                         hard_pred=True, multilabel=multilabel,
                         compute_dtype=compute_dtype)
             else:

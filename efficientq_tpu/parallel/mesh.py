@@ -112,6 +112,13 @@ def host_local_batch(mesh: Mesh, arr, axis_name: str = "data"):
         global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
         return jax.make_array_from_process_local_data(sh, np.asarray(arr),
                                                       global_shape)
+    n_shards = int(np.prod([mesh.shape[a]
+                            for a in batch_axes(mesh, axis_name)]))
+    if arr.shape[0] % n_shards:
+        # uneven batch: device_put rejects it, but the step's in-jit
+        # with_sharding_constraint allows uneven sharding — place it
+        # unsharded and let the constraint distribute (single-process only)
+        return jax.device_put(np.asarray(arr))
     return jax.device_put(arr, sh)
 
 

@@ -264,7 +264,8 @@ def s2d_stem_serving(graph: Graph, variables):
 def make_s2d_volume_inferencer(graph: Graph, variables, *,
                                patch_batch="auto", hard_pred: bool = True,
                                multilabel: bool = False,
-                               compute_dtype=jnp.bfloat16):
+                               compute_dtype=jnp.bfloat16,
+                               heads=None):
     """Host-s2d serving (--serve_stem s2d): the product analogue of the
     bench's fastest mode.
 
@@ -303,9 +304,10 @@ def make_s2d_volume_inferencer(graph: Graph, variables, *,
 
     keep_hd = bool(hard_pred and compute_dtype is not None)
     fallback = make_jitted_volume_inferencer(
-        graph, patch_batch=8 if patch_batch == "auto" else patch_batch,
+        graph, patch_batch=(8 if patch_batch in ("auto", 0, None)
+                            else int(patch_batch)),
         mode="quantized", hard_pred=hard_pred, multilabel=multilabel,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, heads=heads)
 
     @partial(jax.jit, static_argnames=("patch_size", "overlap", "vol_shape",
                                        "pb"))
@@ -316,7 +318,7 @@ def make_s2d_volume_inferencer(graph: Graph, variables, *,
                               keep_head_dtype=keep_hd)
 
         out = sliding_window_inference(
-            model_fn, sv, patch_size, overlap, pb,
+            model_fn, sv, patch_size, overlap, pb, heads=heads,
             normalize=not hard_pred, extract_fn=extract_pre_s2d_patches,
             vol_shape=vol_shape)
         if hard_pred:
@@ -324,6 +326,15 @@ def make_s2d_volume_inferencer(graph: Graph, variables, *,
                 return (out >= 0).astype(jnp.uint8)
             return jnp.argmax(out, axis=-1).astype(jnp.uint8)
         return out
+
+    # 'auto' starts at the full grid (the measured-best chunking on the
+    # flagship) but unlike choose_patch_batch the sweep never probed
+    # smaller chunks — so a device OOM halves the chunk and retries
+    # instead of failing the eval.  Only the FIRST call per program
+    # signature blocks (to surface the OOM while retry is still cheap);
+    # later volumes stay async so validate_seg's 1-deep pipeline holds.
+    pb_cap = {"v": None}
+    seen_sigs = set()
 
     def infer(variables_ignored, image, patch_size, overlap):
         del variables_ignored  # weights are baked into the rewritten graph
@@ -337,9 +348,25 @@ def make_s2d_volume_inferencer(graph: Graph, variables, *,
                             overlap)
         svol = effq_native.s2d_bf16(image.astype(np.float32, copy=False),
                                     s2d_need_planes(starts, patch_size))
-        pb = (len(starts) * image.shape[0] if patch_batch == "auto"
-              else int(patch_batch))
-        return run(v2, jnp.asarray(svol), patch_size, overlap, vol_shape,
-                   pb)
+        sj = jnp.asarray(svol)
+        pb = (len(starts) * image.shape[0]
+              if patch_batch in ("auto", 0, None) else int(patch_batch))
+        if pb_cap["v"] is not None:
+            pb = min(pb, pb_cap["v"])
+        while True:
+            try:
+                out = run(v2, sj, patch_size, overlap, vol_shape, pb)
+                sig = (sj.shape, patch_size, overlap, pb)
+                if sig not in seen_sigs:
+                    jax.block_until_ready(out)
+                    seen_sigs.add(sig)
+                return out
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or pb <= 1:
+                    raise
+                pb = max(1, pb // 2)
+                pb_cap["v"] = pb
+                print(f"serve_stem=s2d: device OOM, retrying at "
+                      f"patch_batch={pb}")
 
     return infer

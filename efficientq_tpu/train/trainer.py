@@ -69,12 +69,26 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.variables["params"])
         self.loss_fn = get_loss(loss_name)
         self.head_w = head_loss_weights(num_mo)
+        # multi-process (jax.distributed): decorrelate the per-process
+        # dropout/augmentation streams — with a shared seed every process
+        # would draw identical crops/noise, making the global batch N
+        # copies of one process's batch.  (The model-INIT key is the
+        # caller's and identical across processes, as required for the
+        # replicated parameters.)
         self.rng = jax.random.PRNGKey(seed)
+        if mesh is not None and jax.process_count() > 1:
+            self.rng = jax.random.fold_in(self.rng, jax.process_index())
         self.step_idx = 0
         self.epoch = 0
         self.start_epoch = 1
         self.max_seg_metric_val = 0.0
         self.mesh = mesh
+        # multi-process (jax.distributed): only process 0 writes snapshots
+        # and text sinks (identical replicated state everywhere; on a
+        # shared filesystem concurrent writers would race), and online
+        # validation is skipped (the eval path is single-process)
+        self._multiproc = mesh is not None and jax.process_count() > 1
+        self._rank0 = not self._multiproc or jax.process_index() == 0
         if fsdp and mesh is None:
             raise ValueError("fsdp requires a device mesh (--dp_devices)")
         self.fsdp = bool(fsdp)
@@ -90,6 +104,16 @@ class Trainer:
             self.variables["params"] = jax.device_put(
                 self.variables["params"], self._fsdp_psh)
             self.opt_state = jax.device_put(self.opt_state, self._fsdp_osh)
+        elif mesh is not None and jax.process_count() > 1:
+            # multi-process jit needs GLOBAL arrays: place the carried
+            # state replicated on the full mesh up front (host values are
+            # identical on every process — same init key); the in-step
+            # sharding constraint alone cannot lift a single-device array
+            # onto non-addressable devices
+            from ..parallel.mesh import replicate
+
+            self.variables = replicate(mesh, self.variables)
+            self.opt_state = replicate(mesh, self.opt_state)
         # model/scheme dump (trainer.py:75-76 description.txt)
         with open(P.join(snapshot_root, "description.txt"), "w") as f:
             f.write(f"loss={loss_name} lr={base_lr} epochs={max_epoch} "
@@ -190,7 +214,7 @@ class Trainer:
         from ..data.prefetch import device_feed
 
         loss_buf, arr_buf = [], []
-        for x, y in device_feed(self.data.trainloader):
+        for x, y in device_feed(self.data.trainloader, mesh=self.mesh):
             # critical section: the step DONATES the carried state, so a
             # KeyboardInterrupt between dispatch and the reassignment would
             # leave self.variables pointing at deleted buffers — and the
@@ -247,8 +271,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self):
         loss_all = []
-        lossF = open(P.join(self.root, "loss.txt"), "a")
-        seg_metricF = open(P.join(self.root, "seg_metric.txt"), "a")
+        sink = lambda name: (P.join(self.root, name) if self._rank0
+                             else os.devnull)
+        lossF = open(sink("loss.txt"), "a")
+        seg_metricF = open(sink("seg_metric.txt"), "a")
+        if self._multiproc:
+            print("multi-process training: online validation skipped "
+                  "(single-process eval path); snapshots/sinks written by "
+                  "process 0 only")
         start = time.time()
         profile_dir = os.environ.get("EFFQ_PROFILE_DIR")
         try:
@@ -274,6 +304,8 @@ class Trainer:
                                               self.current_lr(), epoch)
                     for k, v in loss_dict.items():
                         self.tb_writer.add_scalar(k, float(v), epoch)
+                if self._multiproc:
+                    continue  # see the note above: eval is single-process
                 if epoch % self.test_interval == 0 or epoch == self.start_epoch:
                     metric_dict = self.validate_online(epoch, seg_metricF)
                     val_dsc = metric_dict.get("val/seg_dsc", 0.0)
@@ -307,6 +339,8 @@ class Trainer:
     # ------------------------------------------------------------------
     # checkpointing (trainer.py:427-481)
     def snapshot(self, epoch: int, name: Optional[str] = None):
+        if not self._rank0:
+            return
         payload = {
             "epoch": epoch,
             "state_dict": torch_io.to_torch_state_dict(self.graph,
@@ -385,6 +419,8 @@ class Trainer:
     def final_snap(self, name: str):
         """Compressed npz export; near-ternary conv weights cast to int8
         (trainer.py:470-481)."""
+        if not self._rank0:
+            return
         sd = torch_io.to_torch_state_dict(self.graph, self.variables)
         sdx = {}
         for k, v in sd.items():

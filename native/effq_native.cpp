@@ -156,10 +156,35 @@ void zoom3d_nearest_u8(const uint8_t* src, int64_t sd, int64_t sh, int64_t sw,
 #include <immintrin.h>
 #endif
 
+#ifdef __AVX2__
+// RTNE f32 -> bf16 of 8 lanes (NaN quieted — see bf16_row), low 128 bits.
+static inline __m128i bf16x8(const float* p) {
+    __m256i x = _mm256_loadu_si256((const __m256i*)p);
+    __m256i ax = _mm256_and_si256(x, _mm256_set1_epi32(0x7FFFFFFF));
+    __m256i is_nan = _mm256_cmpgt_epi32(ax, _mm256_set1_epi32(0x7F800000));
+    __m256i bit16 = _mm256_and_si256(_mm256_srli_epi32(x, 16),
+                                     _mm256_set1_epi32(1));
+    __m256i r = _mm256_srli_epi32(
+        _mm256_add_epi32(x, _mm256_add_epi32(bit16,
+                                             _mm256_set1_epi32(0x7FFF))),
+        16);
+    __m256i qn = _mm256_or_si256(_mm256_srli_epi32(x, 16),
+                                 _mm256_set1_epi32(0x40));
+    r = _mm256_blendv_epi8(r, qn, is_nan);
+    // values <= 0xFFFF, so unsigned 32->16 pack never saturates
+    __m256i pk = _mm256_packus_epi32(r, r);       // per-lane packed
+    pk = _mm256_permute4x64_epi64(pk, 0xD8);      // gather the lanes
+    return _mm256_castsi256_si128(pk);
+}
+#endif
+
+
 static inline uint16_t f32_to_bf16(float f) {
     uint32_t x;
     std::memcpy(&x, &f, 4);
-    x += 0x7FFFu + ((x >> 16) & 1u);  // RTNE
+    if ((x & 0x7FFFFFFFu) > 0x7F800000u)  // NaN: the RTNE add would carry
+        return (uint16_t)((x >> 16) | 0x0040u);  // into the exponent
+    x += 0x7FFFu + ((x >> 16) & 1u);  // RTNE (inf is exact: bit16 = 0)
     return (uint16_t)(x >> 16);
 }
 
@@ -173,8 +198,12 @@ static inline void bf16_row(const float* src, uint16_t* dst, int64_t nelem) {
     std::memcpy(&s, &src, sizeof(s));  // type-pun the pointer, not each value
     for (int64_t i = 0; i < nelem; ++i) {
         uint32_t x = s[i];
-        x += 0x7FFFu + ((x >> 16) & 1u);
-        dst[i] = (uint16_t)(x >> 16);
+        // NaN guard: the RTNE add would carry into the exponent and turn
+        // NaN into inf/-0; quieting matches jnp.astype(bfloat16)
+        uint32_t r = ((x & 0x7FFFFFFFu) > 0x7F800000u)
+                         ? ((x >> 16) | 0x0040u)
+                         : ((x + 0x7FFFu + ((x >> 16) & 1u)) >> 16);
+        dst[i] = (uint16_t)r;
     }
 }
 
@@ -187,21 +216,6 @@ extern "C" void s2d_bf16(const float* src, int64_t n, int64_t d, int64_t h,
     int64_t total = n * out_planes;
     unsigned nt = std::max(1u, std::min(std::thread::hardware_concurrency(),
                                         (unsigned)total));
-#ifdef __AVX2__
-    // RTNE f32 -> bf16 of 8 lanes, result in the low 128 bits.
-    auto cvt8 = [](const float* p) -> __m128i {
-        __m256i x = _mm256_loadu_si256((const __m256i*)p);
-        __m256i bit16 = _mm256_and_si256(_mm256_srli_epi32(x, 16),
-                                         _mm256_set1_epi32(1));
-        x = _mm256_add_epi32(
-            x, _mm256_add_epi32(bit16, _mm256_set1_epi32(0x7FFF)));
-        x = _mm256_srli_epi32(x, 16);
-        // values <= 0xFFFF, so unsigned 32->16 pack never saturates
-        __m256i pk = _mm256_packus_epi32(x, x);       // per-lane packed
-        pk = _mm256_permute4x64_epi64(pk, 0xD8);      // gather the lanes
-        return _mm256_castsi256_si128(pk);
-    };
-#endif
     auto work = [&](int64_t lo, int64_t hi) {
         // Output-centric row pass: each 64-byte dst cache line (c8 = 32
         // elements at C=4) is assembled from the 4 phase rows (pz, py) and
@@ -233,10 +247,10 @@ extern "C" void s2d_bf16(const float* src, int64_t n, int64_t d, int64_t h,
                     // C=4 (BraTS): fully fused — 8 f32 from each phase row,
                     // converted in-register, two 32-byte stores per line
                     for (int64_t j = 0; j < wo; ++j) {
-                        __m128i a0 = cvt8(srow[0] + j * 8);
-                        __m128i a1 = cvt8(srow[1] + j * 8);
-                        __m128i a2 = cvt8(srow[2] + j * 8);
-                        __m128i a3 = cvt8(srow[3] + j * 8);
+                        __m128i a0 = bf16x8(srow[0] + j * 8);
+                        __m128i a1 = bf16x8(srow[1] + j * 8);
+                        __m128i a2 = bf16x8(srow[2] + j * 8);
+                        __m128i a3 = bf16x8(srow[3] + j * 8);
                         _mm256_storeu_si256((__m256i*)(orow + j * 32),
                                             _mm256_set_m128i(a1, a0));
                         _mm256_storeu_si256((__m256i*)(orow + j * 32 + 16),
@@ -293,19 +307,6 @@ extern "C" void s2d_patches_bf16(const float* src, int64_t n, int64_t d,
     const int64_t total = p * n * planes;
     unsigned nt = std::max(1u, std::min(std::thread::hardware_concurrency(),
                                         (unsigned)total));
-#ifdef __AVX2__
-    auto cvt8 = [](const float* q) -> __m128i {
-        __m256i x = _mm256_loadu_si256((const __m256i*)q);
-        __m256i bit16 = _mm256_and_si256(_mm256_srli_epi32(x, 16),
-                                         _mm256_set1_epi32(1));
-        x = _mm256_add_epi32(
-            x, _mm256_add_epi32(bit16, _mm256_set1_epi32(0x7FFF)));
-        x = _mm256_srli_epi32(x, 16);
-        __m256i pk = _mm256_packus_epi32(x, x);
-        pk = _mm256_permute4x64_epi64(pk, 0xD8);
-        return _mm256_castsi256_si128(pk);
-    };
-#endif
     auto work = [&](int64_t lo, int64_t hi) {
         std::vector<uint16_t> tmp(4 * pw * c, 0);
         std::vector<float> zrow(pw * c, 0.0f);
@@ -344,10 +345,10 @@ extern "C" void s2d_patches_bf16(const float* src, int64_t n, int64_t d,
 #ifdef __AVX2__
                 if (c2 == 8) {
                     for (int64_t j = 0; j < wo; ++j) {
-                        __m128i a0 = cvt8(srow[0] + j * 8);
-                        __m128i a1 = cvt8(srow[1] + j * 8);
-                        __m128i a2 = cvt8(srow[2] + j * 8);
-                        __m128i a3 = cvt8(srow[3] + j * 8);
+                        __m128i a0 = bf16x8(srow[0] + j * 8);
+                        __m128i a1 = bf16x8(srow[1] + j * 8);
+                        __m128i a2 = bf16x8(srow[2] + j * 8);
+                        __m128i a3 = bf16x8(srow[3] + j * 8);
                         _mm256_storeu_si256((__m256i*)(orow + j * 32),
                                             _mm256_set_m128i(a1, a0));
                         _mm256_storeu_si256((__m256i*)(orow + j * 32 + 16),

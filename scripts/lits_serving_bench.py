@@ -38,7 +38,10 @@ from efficientq_tpu.quant import fake_quant_weight
 
 
 def main():
-    vol_shape = tuple(int(v) for v in sys.argv[1:4]) or (512, 512, 128)
+    args = sys.argv[1:4]
+    if args and len(args) != 3:
+        sys.exit(f"usage: {sys.argv[0]} [D H W]  (all three or none)")
+    vol_shape = tuple(int(v) for v in args) if args else (512, 512, 128)
     patch, overlap = (128, 128, 64), (16, 16, 16)
 
     cfg = preset_config("lits", quantize=True)

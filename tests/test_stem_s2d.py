@@ -320,3 +320,26 @@ def test_cli_serve_stem_flag():
     with pytest.raises(ValueError, match="serve_stem"):
         validate_seg(None, None, [], None, 1, 3, patch_size=16, overlap=4,
                      serve_stem="s2d", serve_grid="column", stride_div=8)
+
+
+def test_host_s2d_nonfinite_bit_identity():
+    """NaN/inf survive the native RTNE conversion exactly like
+    jnp.astype(bfloat16): the bare add-trick would carry NaN's mantissa
+    into the exponent (NaN -> inf / -0) — review r4 finding."""
+    import efficientq_tpu.data.native as nat
+
+    rng = np.random.RandomState(0)
+    vol = rng.randn(1, 10, 16, 16, 4).astype(np.float32)
+    vol[0, 1, 2, 3, 1] = np.nan
+    vol[0, 0, 0, 0, 0] = np.inf
+    vol[0, 5, 5, 5, 2] = -np.inf
+    vol[0, 7, 1, 1, 3] = -np.nan
+    want = np.asarray(s2d_volume(jnp.asarray(vol), min_planes=6,
+                                 dtype=jnp.bfloat16)).view(np.uint16)
+    got = nat.s2d_bf16(vol, 6)
+    np.testing.assert_array_equal(got.view(np.uint16), want)
+    starts = patch_grid((10, 16, 16), (8, 8, 8), (2, 2, 2))
+    wantp = np.asarray(extract_s2d_patches(
+        jnp.asarray(vol), starts, (8, 8, 8))[0]).view(np.uint16)
+    gotp = nat.s2d_patches_bf16(vol, starts, (8, 8, 8))
+    np.testing.assert_array_equal(gotp.view(np.uint16), wantp)
