@@ -147,7 +147,7 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
 
 
 def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
-                         has_res, res_relu, quant_qlvl, pool, O):
+                         has_res, res_relu, quant_qlvl, pool, O, taps):
     """Ring-accumulator variant (dil=1): ONE program per INPUT plane.
 
     The plane-per-output formulation wastes the MXU's N dimension on
@@ -189,13 +189,29 @@ def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
         def _accum(r=r):
             qa = jnp.pad(plane_ref[0, 0], ((1, 1), (1, 1), (0, 0)))
             part = None
-            for kh in range(3):
-                cols = jnp.concatenate(
-                    [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
-                     for kw in range(3)], axis=1)
-                d_kh = jnp.dot(cols, w_ref[r, kh],
-                               preferred_element_type=jnp.int32)
-                part = d_kh if part is None else part + d_kh
+            if taps:
+                # tap-dot form: one (H·W, C) x (C, 3O) dot per (kh, kw) tap,
+                # NO lane-dim concatenate.  MEASURED 1.69x SLOWER than the
+                # concat form at the serving geometry (docs/kernels.md,
+                # scripts/ring_tap_bench.py): at K = C = 32 every dot still
+                # pads K to 128 lanes, so MXU passes triple while each
+                # shifted-slice reshape still materializes its copy.  Kept
+                # behind ring='taps' for re-testing on future toolchains.
+                for kh in range(3):
+                    for kw in range(3):
+                        d = jnp.dot(
+                            qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1),
+                            w_ref[r, kh, kw],
+                            preferred_element_type=jnp.int32)
+                        part = d if part is None else part + d
+            else:
+                for kh in range(3):
+                    cols = jnp.concatenate(
+                        [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
+                         for kw in range(3)], axis=1)
+                    d_kh = jnp.dot(cols, w_ref[r, kh],
+                                   preferred_element_type=jnp.int32)
+                    part = d_kh if part is None else part + d_kh
             if r == 0:
                 # plane 0's kd=2 tap targets output z = -1 (conv zero
                 # padding): its packed columns (slot 2) must not pollute
@@ -252,6 +268,20 @@ def _ring_weight_perm(w_mat: jax.Array, o: int) -> jax.Array:
         for kd in range(3):
             blocks[(r + 1 - kd) % 3] = w_mat[kd]
         parts.append(jnp.concatenate(blocks, axis=-1))
+    return jnp.stack(parts)
+
+
+def _ring_weight_perm_taps(w_codes: jax.Array, o: int) -> jax.Array:
+    """(3, 3, 3, C, O) DHWIO codes -> (3, 3, 3, C, 3O) per-residue tap
+    matrices for the tap-dot ring kernel: w[r, kh, kw] places tap kd's
+    columns at slot (r + 1 - kd) % 3 (same ring slot algebra as
+    `_ring_weight_perm`, without the kw-minor im2col concat)."""
+    parts = []
+    for r in range(3):
+        blocks = [None] * 3
+        for kd in range(3):
+            blocks[(r + 1 - kd) % 3] = w_codes[kd]  # (3, 3, C, O)
+        parts.append(jnp.concatenate(blocks, axis=-1))  # (3, 3, C, 3O)
     return jnp.stack(parts)
 
 
@@ -397,16 +427,20 @@ def qconv3x3_int8_ndhwc(
                 + (h * w_sp * _pad128(o) * out_bytes // 2 if pool else 0))
 
     use_ring = _HAS_PLTPU and dil == 1 and d >= 2 and (
-        ring == "force"
-        or (ring == "auto" and h * w_sp >= 1024
+        ring in ("force", "taps")
+        or (ring in ("auto", "auto_concat") and h * w_sp >= 1024
             and _pad128(3 * o) < 3 * _pad128(o)
             and est_ring_vmem(res_bytes) < 13 * 1024 * 1024))
+    # 'taps' forces the ring with tap-dot im2col (9 small dots, no lane
+    # concat); 'force' pins the concat form (A/B: scripts/ring_tap_bench.py)
+    use_taps = ring == "taps"
     if use_ring:
         kernel = functools.partial(_qconv3d_ring_kernel, H=h, W=w_sp, D=d,
                                    out_dtype=out_dtype,
                                    has_res=residual is not None,
                                    res_relu=residual_relu,
-                                   quant_qlvl=quant_qlvl, pool=pool, O=o)
+                                   quant_qlvl=quant_qlvl, pool=pool, O=o,
+                                   taps=use_taps)
         res_spec = ([pl.BlockSpec(
             (1, 1, h, w_sp, o),
             lambda ni, zi: (ni, jnp.clip(zi - 1, 0, d - 1), 0, 0, 0))]
@@ -435,15 +469,19 @@ def qconv3x3_int8_ndhwc(
                              lambda ni, zi: (ni, jnp.clip(zi, 0, d - 1),
                                              0, 0, 0)),
                 *res_spec,
-                pl.BlockSpec((3, 3, 3 * c, 3 * o),
-                             lambda ni, zi: (0, 0, 0, 0)),
+                (pl.BlockSpec((3, 3, 3, c, 3 * o),
+                              lambda ni, zi: (0, 0, 0, 0, 0)) if use_taps
+                 else pl.BlockSpec((3, 3, 3 * c, 3 * o),
+                                   lambda ni, zi: (0, 0, 0, 0))),
                 pl.BlockSpec((2, o), lambda ni, zi: (0, 0)),
             ],
             out_specs=out_specs if pool else out_specs[0],
             out_shape=out_shape if pool else out_shape[0],
             scratch_shapes=[pltpu.VMEM((h * w_sp, 3 * o), jnp.int32)],
             interpret=interpret,
-        )(scale1, qa, *res_arg, _ring_weight_perm(w_mat, o), sb)
+        )(scale1, qa, *res_arg,
+          _ring_weight_perm_taps(w_codes, o) if use_taps
+          else _ring_weight_perm(w_mat, o), sb)
         return tuple(out) if pool else out
 
     if residual is not None and est_vmem(tz, res_bytes) > 12 * 1024 * 1024:

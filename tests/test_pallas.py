@@ -427,12 +427,13 @@ def test_qconv3x3_ring_variant_bit_exact():
         for kw in cases:
             ref = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
                                       interpret=True, ring="off", **kw)
-            got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
-                                      interpret=True, ring="force", **kw)
-            if kw.get("pool"):
-                for rr, gg in zip(ref, got):
-                    np.testing.assert_array_equal(np.asarray(gg),
-                                                  np.asarray(rr))
-            else:
-                np.testing.assert_array_equal(np.asarray(got),
-                                              np.asarray(ref))
+            for mode in ("force", "taps"):
+                got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
+                                          interpret=True, ring=mode, **kw)
+                if kw.get("pool"):
+                    for rr, gg in zip(ref, got):
+                        np.testing.assert_array_equal(np.asarray(gg),
+                                                      np.asarray(rr))
+                else:
+                    np.testing.assert_array_equal(np.asarray(got),
+                                                  np.asarray(ref))
