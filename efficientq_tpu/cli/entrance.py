@@ -168,6 +168,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tune_act", type=int, default=0,
                         help="joint activation-range tuning iterations "
                              "after per-layer PTQ (0 = off)")
+    # quantization-aware fine-tuning (ptq/qat.py) — beyond-reference: the
+    # reference stops at calibration (src/ptqer.py).  STE training under
+    # the deployed fake-quant forward; the best-val-dice epoch is kept
+    # (epoch 0 = the pure-PTQ state included, so the flag cannot hurt).
+    parser.add_argument("--qat_epochs", type=int, default=0,
+                        help="QAT fine-tune epochs after PTQ calibration "
+                             "(0 = off); trains weights AND quantization "
+                             "ranges with STE, keeps the best-val-dice "
+                             "epoch (pure PTQ included)")
+    parser.add_argument("--qat_lr", type=float, default=1e-4,
+                        help="QAT fine-tune learning rate")
 
     # evaluation config
     parser.add_argument("--save_nii", action="store_true")

@@ -410,6 +410,26 @@ def ptq(args):
                 mark = "  <- kept" if it == tinfo["best_iter"] else ""
                 f.write(f"iter {it}: dice {s:.6f}{mark}\n")
 
+    if getattr(args, "qat_epochs", 0):
+        # quantization-aware fine-tune of the calibrated net (ptq/qat.py):
+        # STE training under the deployed fake-quant forward, best-val-
+        # dice epoch kept (epoch 0 = pure PTQ included, so the flag can
+        # only help).  Beyond-reference: src/ptqer.py stops at calibration.
+        from ..ptq.qat import run_qat
+
+        qat_dir = P.join(snap_dir, "qat")
+        os.makedirs(qat_dir, exist_ok=True)
+        qvars, qat_log = run_qat(
+            fgraph, qvars, hub, num_mo=n_mo, n_class=nClass,
+            loss_name=args.loss, epochs=args.qat_epochs, lr=args.qat_lr,
+            snapshot_root=qat_dir, mesh=mesh,
+            multilabel_fusetype=hub.multilabel_fusetype,
+            display_interval=args.disp_interval,
+            weight_decay=float(args.weight_decay))
+        kd = qat_log["kept_dice"]
+        print(f"qat: kept epoch {qat_log['kept_epoch']}"
+              + (f" (val dice {kd:.4f})" if kd is not None else ""))
+
     print(f"FP forward costs {report.fp_forward_seconds:.3f}s, PTQ costs "
           f"{report.calibration_seconds:.3f}s.")
     with open(P.join(snap_dir, "time_cost.txt"), "w") as f:

@@ -402,15 +402,17 @@ def _eval_train_node(node: Node, i: int, params, st, ins, *, train, rng,
     returns (output, bn-state update or None).  ``i`` is the node's global
     topo index — the dropout RNG folds it in, so segment boundaries cannot
     change the per-node random streams."""
-    if train and node.op == "conv" and compute_dtype is not None:
+    if (train and node.op == "conv" and compute_dtype is not None
+            and mode == "fp"):
         # mixed-precision training path: plain low-precision conv (the MXU
         # accumulates bf16 operands in f32 internally and rounds once — the
         # same value as the serving branch's preferred_element_type=f32 +
         # astype, but differentiable: the serving form's transpose would
         # pair an f32 cotangent with a bf16 kernel, which
-        # lax.conv_general_dilated rejects).  Train mode is always 'fp'
-        # (quantization is post-training), so qcfg/int8 branches don't
-        # apply here.
+        # lax.conv_general_dilated rejects).  FP training only: QAT
+        # (train + mode='fq') falls through to eval_node, whose fake-quant
+        # ops are STE-differentiable (quant.discretize) and whose grid
+        # arithmetic must stay f32 — a bf16 round flips 2-bit codes.
         p = params[node.name]
         a = node.attrs
         x = ins[0].astype(compute_dtype)

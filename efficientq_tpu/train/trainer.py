@@ -39,7 +39,8 @@ class Trainer:
                  display_interval: int = 10, multilabel_fusetype=None,
                  seed: int = 0, mesh=None, check_nan: bool = True,
                  tb_writer=None, ckpt_backend: str = "pickle",
-                 fsdp: bool = False, remat: int = 0, amp: bool = False):
+                 fsdp: bool = False, remat: int = 0, amp: bool = False,
+                 apply_mode: str = "fp"):
         self.graph = graph
         # the train step donates its carried state buffers; own a private
         # copy so the caller's tree (often shared with a second Trainer or
@@ -94,6 +95,14 @@ class Trainer:
         self.fsdp = bool(fsdp)
         self.remat = int(remat)
         self.amp = bool(amp)
+        # 'fp' trains plain convs; 'fq' is the QAT fine-tune path: forward
+        # fake-quantizes weights AND activations from the calibrated alphas
+        # (quant.discretize is STE-differentiable), so the optimizer updates
+        # latent weights + alphas under the deployed quantization function.
+        # The reference is PTQ-only (src/ptqer.py); QAT is a TPU-native
+        # extension riding the same pipelined trainer.
+        assert apply_mode in ("fp", "fq")
+        self.apply_mode = apply_mode
         self.tb_writer = tb_writer
         self._train_step = self._build_train_step()
         if self.fsdp:
@@ -136,12 +145,17 @@ class Trainer:
         # while the master params, grads (accumulated through the astype
         # transpose), BN statistics, loss, and Adam state all stay f32.
         # Composes with --remat and --fsdp.  The reference trains f32-only.
-        compute_dtype = jnp.bfloat16 if self.amp else None
+        # QAT trains f32: the fake-quant grid arithmetic (divide, clip,
+        # round) must not run at bf16 — a half-width round flips 2-bit codes
+        compute_dtype = (jnp.bfloat16 if self.amp and self.apply_mode == "fp"
+                         else None)
+        apply_mode = self.apply_mode
 
         def loss_and_state(params, state, x, y, rng):
             out, new_state = nnir.apply(
                 graph, {"params": params, "state": state}, x, train=True,
-                rng=rng, remat=remat, compute_dtype=compute_dtype)
+                rng=rng, remat=remat, compute_dtype=compute_dtype,
+                mode=apply_mode)
             # heads stacked (M, N, D, H, W, C) -> reference layout (M,N,C,...)
             out_ncdhw = jnp.moveaxis(out, -1, 2)
             total, arr = multi_output_loss(loss_fn, head_w, out_ncdhw, y)
@@ -259,7 +273,11 @@ class Trainer:
                 self.n_class, patch_size=self.data.slide_patch_size,
                 overlap=self.data.slide_overlap,
                 merge_label_func=self.data.merge_label_func,
-                multilabel_fusetype=self.multilabel_fusetype)
+                multilabel_fusetype=self.multilabel_fusetype,
+                # QAT: latent weights are off-grid mid-training, so eval
+                # must re-quantize on the fly (mode='quantized' would run
+                # them raw)
+                mode=self.apply_mode)
             m = sm[-1].get_metric()
             for k, v in m.items():
                 metric_dict[f"{split}/seg_{k}"] = v

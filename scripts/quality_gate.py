@@ -112,6 +112,13 @@ def main():
                     help="train with mixed precision (bf16 activations, "
                          "f32 master state) — quality-parity leg for the "
                          "product --amp flag")
+    ap.add_argument("--qat", type=int, default=0,
+                    help="QAT fine-tune epochs after each PTQ setting "
+                         "(0 = off); epoch kept by val dice, pure-PTQ "
+                         "epoch 0 included")
+    ap.add_argument("--qat_lr", type=float, default=1e-3,
+                    help="QAT learning rate (gate-net scale; the "
+                         "flagship CLI default is 1e-4)")
     ap.add_argument("--seed", type=int, default=0,
                     help="init/trainer seed (data stays seed 0 so runs "
                          "share the dataset); use to size run-to-run "
@@ -226,6 +233,24 @@ def main():
             results["settings"][tag]["mixed_upgraded"] = report.mixed_upgraded
         if args.calib_select:
             results["settings"][tag]["calib_select"] = selection
+
+        if args.qat:
+            from efficientq_tpu.ptq.qat import run_qat
+
+            t0 = time.time()
+            qv2, qlog = run_qat(
+                fg, fv, hub, num_mo=n_mo, n_class=3, loss_name="hybrid",
+                epochs=args.qat, lr=args.qat_lr,
+                snapshot_root=P.join(root, f"qat_{tag}"))
+            qat_dice = mean_fg_dice(fg, qv2, hub, n_mo, "quantized")
+            print(f"{tag}+qat{args.qat}: dice {qat_dice:.4f} "
+                  f"(delta {fp_dice - qat_dice:+.4f}), kept epoch "
+                  f"{qlog['kept_epoch']}, {time.time() - t0:.1f}s")
+            results["settings"][tag]["qat_dice"] = qat_dice
+            results["settings"][tag]["qat_kept_epoch"] = qlog["kept_epoch"]
+            results["settings"][tag]["qat_epochs"] = args.qat
+            results["settings"][tag]["qat_history"] = [
+                {k: v for k, v in h.items()} for h in qlog["history"]]
 
         if args.tune_act:
             from efficientq_tpu.ptq.tune import tune_activation_range
