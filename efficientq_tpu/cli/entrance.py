@@ -173,10 +173,14 @@ def build_parser() -> argparse.ArgumentParser:
     # the deployed fake-quant forward; the best-val-dice epoch is kept
     # (epoch 0 = the pure-PTQ state included, so the flag cannot hurt).
     parser.add_argument("--qat_epochs", type=int, default=0,
-                        help="QAT fine-tune epochs after PTQ calibration "
-                             "(0 = off); trains weights AND quantization "
-                             "ranges with STE, keeps the best-val-dice "
-                             "epoch (pure PTQ included)")
+                        help="EXPERIMENTAL: QAT fine-tune epochs after PTQ "
+                             "calibration (0 = off); trains weights AND "
+                             "quantization ranges with STE, keeps the "
+                             "best-val-dice epoch (pure PTQ included, so it "
+                             "cannot ship worse). Measured boundaries: "
+                             "cannot escape act-saturated basins, overfits "
+                             "tiny val gates, helps undertrained nets "
+                             "(docs/quantization.md)")
     parser.add_argument("--qat_lr", type=float, default=1e-4,
                         help="QAT fine-tune learning rate")
 

@@ -247,8 +247,9 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
                 # nodes (pallas/epilogue.py::_fuse_pools)
                 pool=bool(a.get("epilogue_pool")),
                 # ring-accumulator A/B override for profiling (EFFQ_RING=
-                # off|force); default 'auto' engages where the kd-packed
-                # dot reduces padded MXU work — bit-exact either way
+                # off|auto|force|taps — see qconv3x3_int8_ndhwc docstring);
+                # default 'auto' engages where the kd-packed dot reduces
+                # padded MXU work — bit-exact either way
                 ring=os.environ.get("EFFQ_RING", "auto"))
         if a.get("int8"):
             y = fused_int8_matmul(

@@ -146,8 +146,15 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
                                                   yp).astype(out_dtype)
 
 
+def _ring_flat_pitch(W: int) -> int:
+    """Row pitch of the flat-frame im2col: smallest sublane-aligned
+    (multiple-of-8) width >= W + 2 (left halo 1 + right halo 1)."""
+    return -(-(W + 2) // 8) * 8
+
+
 def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
-                         has_res, res_relu, quant_qlvl, pool, O, taps):
+                         has_res, res_relu, quant_qlvl, pool, O, taps,
+                         flat):
     """Ring-accumulator variant (dil=1): ONE program per INPUT plane.
 
     The plane-per-output formulation wastes the MXU's N dimension on
@@ -326,6 +333,15 @@ def qconv3x3_int8_ndhwc(
                                (y, y_pool).  Never combined with the quant
                                epilogue (different consumers).
 
+    ring selects the accumulator formulation (bit-exact either way):
+      'auto'  — ring kernel where the kd-packed dot reduces padded MXU
+                work (narrow nets, dil 1, VMEM fits), else z-tiled kernel
+      'off'   — always the z-tiled kernel
+      'force' — always the ring kernel (concat im2col)
+      'taps'  — ring kernel with tap-dot im2col (9 small dots, no lane
+                concat) — measured 1.69x SLOWER on this toolchain
+                (scripts/ring_tap_bench.py); kept for future-toolchain A/B
+
     A fused-lane (H, W*C) layout variant was tried for the low-C stages
     (it would remove the C->128 lane padding): Mosaic cannot lower its
     (H, W*C)->(H*W, C) shape cast (lane-dim change), so the layout is a
@@ -428,7 +444,7 @@ def qconv3x3_int8_ndhwc(
 
     use_ring = _HAS_PLTPU and dil == 1 and d >= 2 and (
         ring in ("force", "taps")
-        or (ring in ("auto", "auto_concat") and h * w_sp >= 1024
+        or (ring == "auto" and h * w_sp >= 1024
             and _pad128(3 * o) < 3 * _pad128(o)
             and est_ring_vmem(res_bytes) < 13 * 1024 * 1024))
     # 'taps' forces the ring with tap-dot im2col (9 small dots, no lane

@@ -108,12 +108,25 @@ def host_local_batch(mesh: Mesh, arr, axis_name: str = "data"):
     shard of the global batch (global batch = process-local batch x
     process count along the leading axis)."""
     sh = NamedSharding(mesh, P(batch_axes(mesh, axis_name)))
+    n_shards = int(np.prod([mesh.shape[a]
+                            for a in batch_axes(mesh, axis_name)]))
     if jax.process_count() > 1:
+        # the single-process uneven fallback below (place unsharded, let
+        # the in-jit constraint distribute) has no multi-process analogue:
+        # make_array_from_process_local_data would raise a shape-assembly
+        # error deep inside jax — fail fast with the fix spelled out
+        per_proc = n_shards // jax.process_count()
+        if per_proc == 0 or arr.shape[0] % per_proc:
+            raise ValueError(
+                f"process-local batch {arr.shape[0]} does not divide this "
+                f"process's {per_proc} mesh shard(s) "
+                f"({n_shards} global shards / {jax.process_count()} "
+                f"processes); multi-process meshes need the per-process "
+                f"batch to be a multiple of its local shard count — pad "
+                f"or adjust --batch_size")
         global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
         return jax.make_array_from_process_local_data(sh, np.asarray(arr),
                                                       global_shape)
-    n_shards = int(np.prod([mesh.shape[a]
-                            for a in batch_axes(mesh, axis_name)]))
     if arr.shape[0] % n_shards:
         # uneven batch: device_put rejects it, but the step's in-jit
         # with_sharding_constraint allows uneven sharding — place it

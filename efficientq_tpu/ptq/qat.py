@@ -30,6 +30,7 @@ shipped model worse than the PTQ it started from.
 """
 from __future__ import annotations
 
+import os
 import os.path as P
 from typing import Any, Dict, Optional, Tuple
 
@@ -73,6 +74,15 @@ def run_qat(fgraph, qvars, hub, *, num_mo: int, n_class: int,
     """
     from ..train.trainer import Trainer
 
+    # Mirror Trainer's multi-process handling (trainer.py): under a
+    # multi-process mesh the sliding-window eval path is single-process
+    # (host-local patch arrays vs globally-replicated params would mix in
+    # a mesh-less jit), so per-epoch val scoring is skipped — the final
+    # epoch is kept — and print/file sinks are written by process 0 only
+    # (a shared filesystem would race otherwise).
+    multiproc = mesh is not None and jax.process_count() > 1
+    rank0 = not multiproc or jax.process_index() == 0
+
     trainer = Trainer(
         fgraph, qvars, hub, loss_name=loss_name, num_mo=num_mo,
         n_class=n_class, base_lr=lr, max_epoch=max(int(epochs), 1),
@@ -85,7 +95,7 @@ def run_qat(fgraph, qvars, hub, *, num_mo: int, n_class: int,
     def _val_dice() -> Optional[float]:
         # val split only (validate_online would also walk the test loader:
         # slower, and epoch selection must never see test data)
-        if hub.valloader is None:
+        if hub.valloader is None or multiproc:
             return None
         from ..eval.validate import validate_seg
 
@@ -103,8 +113,12 @@ def run_qat(fgraph, qvars, hub, *, num_mo: int, n_class: int,
     history = []
     dice0 = _val_dice()
     best = {"epoch": 0, "dice": dice0, "params": _host_params()}
-    if dice0 is not None:
+    if dice0 is not None and rank0:
         print(f"qat: epoch 0 (pure PTQ) val dice {dice0:.4f}")
+    if multiproc and rank0:
+        print("qat: multi-process mesh — per-epoch val scoring skipped "
+              "(single-process eval path); final epoch kept; sinks "
+              "written by process 0 only")
     for epoch in range(1, int(epochs) + 1):
         trainer.epoch = epoch
         stats = trainer.train_epoch()
@@ -117,16 +131,18 @@ def run_qat(fgraph, qvars, hub, *, num_mo: int, n_class: int,
                 best = {"epoch": epoch, "dice": dice,
                         "params": _host_params()}
                 line += "  <- best"
-        else:  # no val split: keep the final epoch
+        else:  # no val split (or multi-process): keep the final epoch
             best = {"epoch": epoch, "dice": None, "params": _host_params()}
-        print(line)
+        if rank0:
+            print(line)
 
     out = {"params": jax.tree.map(jnp.asarray, best["params"]),
            "state": dict(qvars.get("state", {}))}
     snap_to_grid(fgraph, out)
     log = {"kept_epoch": best["epoch"], "kept_dice": best["dice"],
            "history": history}
-    with open(P.join(snapshot_root, "qat_loss.txt"), "w") as f:
+    sink = (P.join(snapshot_root, "qat_loss.txt") if rank0 else os.devnull)
+    with open(sink, "w") as f:
         if dice0 is not None:
             mark = "  <- kept" if best["epoch"] == 0 else ""
             f.write(f"epoch 0 (pure PTQ): val_dice {dice0:.6f}{mark}\n")

@@ -130,6 +130,8 @@ def main():
 
     out = P.join(P.dirname(P.abspath(__file__)), "..", args.out)
     with open(out, "w") as f:
+        from efficientq_tpu.utils.toolchain import toolchain_fingerprint
+        results["toolchain"] = toolchain_fingerprint()
         json.dump(results, f, indent=2)
     print(json.dumps(results["legs"], indent=2))
 

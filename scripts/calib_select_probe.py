@@ -163,6 +163,8 @@ def main():
            "rows": rows, "best_val_offset": best_val, "proxies": summary}
     with open(P.join(P.dirname(P.abspath(__file__)), "..", args.out),
               "w") as f:
+        from efficientq_tpu.utils.toolchain import toolchain_fingerprint
+        out["toolchain"] = toolchain_fingerprint()
         json.dump(out, f, indent=2)
     print(json.dumps(summary, indent=2))
 

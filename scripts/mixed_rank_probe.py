@@ -156,6 +156,8 @@ def main():
 
     path = P.join(P.dirname(P.abspath(__file__)), "..", args.out)
     with open(path, "w") as f:
+        from efficientq_tpu.utils.toolchain import toolchain_fingerprint
+        out["toolchain"] = toolchain_fingerprint()
         json.dump(out, f, indent=2)
     print(json.dumps({t: {k: v for k, v in s.items()
                           if k in ("mean_jaccard", "mean_spearman")}

@@ -96,10 +96,20 @@ def main():
                          "the calibration batch (reference --lwq_dataid "
                          "analogue; use to measure calibration-choice "
                          "variance)")
-    ap.add_argument("--calib_select", type=int, default=0,
+    ap.add_argument("--calib_select", type=int, default=4,
                     help="calibrate on each of K candidate volumes and keep "
                          "the best by train-volume dice (ptq/select.py; "
-                         "mirrors the product --lwq_select)")
+                         "mirrors the product --lwq_select). DEFAULT ON "
+                         "(K=4): selection is the repo's zero-regret "
+                         "de-noiser, so pass/fail rows are draw-robust; "
+                         "0 measures a single raw draw (the pre-r5 "
+                         "behavior, needed for draw-variance matrices)")
+    ap.add_argument("--compare", type=str, default=None,
+                    help="path to a prior gate results JSON: re-runs are "
+                         "checked against it with the seed-matrix "
+                         "tolerance bands and drift is FLAGGED in the "
+                         "output (exit code stays 0; drift is a finding, "
+                         "not a failure)")
     ap.add_argument("--width", type=str, default=None,
                     help="comma-separated stage widths override")
     ap.add_argument("--vol", type=int, default=32, help="synthetic volume side")
@@ -177,9 +187,22 @@ def main():
         calib_x = ops.ncdhw_to_ndhwc(jnp.concatenate(
             [jnp.asarray(im) for im in imgs], axis=0))
 
+    from efficientq_tpu.utils.toolchain import toolchain_fingerprint
+
+    # Tolerance bands from the 2x2 seed matrix (seed {0,1} x {f32,amp} FP
+    # dice 0.854/0.844/0.821/0.872 — experiments/quality_gate_s1_*.json,
+    # BASELINE.md): half the max-min spread = +-0.026 is the seed-level
+    # trainer variance any same-protocol re-run may move by without
+    # meaning anything.  Quantized rows are draw-selected (calib_select),
+    # which removed draw noise but still sits on top of the FP trainer's
+    # variance, so the same band applies; sub-4-bit rows near a basin
+    # boundary can exceed it legitimately — drift there is FLAGGED for a
+    # human, not auto-failed.
+    TOL_BAND = 0.026
     results = {"fp_dice": fp_dice, "train_seconds": train_sec,
                "epochs": args.epochs, "amp": bool(args.amp),
-               "seed": args.seed, "settings": {}}
+               "seed": args.seed, "toolchain": toolchain_fingerprint(),
+               "tolerance_band": TOL_BAND, "settings": {}}
     tags = {256: "W8A8", 16: "W4A4", 4: "W2A2"}
     for qlvl in (int(x) for x in args.settings.split(",")):
         tag = tags.get(qlvl, f"q{qlvl}")
@@ -249,6 +272,14 @@ def main():
             results["settings"][tag]["qat_dice"] = qat_dice
             results["settings"][tag]["qat_kept_epoch"] = qlog["kept_epoch"]
             results["settings"][tag]["qat_epochs"] = args.qat
+            # scoring caveat: the kept epoch was SELECTED by val dice on
+            # this same split, so qat_dice carries a positive selection
+            # bias vs the single-measurement PTQ dice above (max of N
+            # noisy draws vs one draw); treat small positive deltas as
+            # noise unless reproduced on a held-out split
+            results["settings"][tag]["qat_selection_bias"] = (
+                "qat_dice = max-over-epochs on the epoch-selection split; "
+                "positively biased vs the single-measurement ptq dice")
             results["settings"][tag]["qat_history"] = [
                 {k: v for k, v in h.items()} for h in qlog["history"]]
 
@@ -298,6 +329,33 @@ def main():
             if args.tune_act_validated:
                 results["settings"][tag]["tune_kept_iter"] = tinfo["best_iter"]
                 results["settings"][tag]["tune_scores"] = tinfo["scores"]
+
+    if args.compare:
+        with open(args.compare) as f:
+            prior = json.load(f)
+        drift = {"prior": args.compare,
+                 "prior_toolchain": prior.get("toolchain", "unrecorded"),
+                 "toolchain_changed": prior.get("toolchain")
+                 != results["toolchain"],
+                 "rows": {}}
+        rows = [("fp_dice", prior.get("fp_dice"), fp_dice)]
+        for tag, s in results["settings"].items():
+            p = prior.get("settings", {}).get(tag, {})
+            rows.append((tag, p.get("dice"), s["dice"]))
+        for name, old, new in rows:
+            if old is None:
+                continue
+            delta = new - old
+            flagged = abs(delta) > TOL_BAND
+            drift["rows"][name] = {"prior": old, "now": new,
+                                   "delta": delta, "flagged": flagged}
+            if flagged:
+                print(f"DRIFT: {name} moved {delta:+.4f} "
+                      f"(> +-{TOL_BAND} seed band) vs {args.compare}"
+                      + (" — toolchain CHANGED, see 'toolchain' fields"
+                         if drift["toolchain_changed"] else
+                         " — toolchain unchanged: investigate"))
+        results["drift_vs_prior"] = drift
 
     out = P.join(P.dirname(P.abspath(__file__)), "..", args.out)
     with open(out, "w") as f:

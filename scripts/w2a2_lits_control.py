@@ -319,6 +319,8 @@ def main():
     path = P.join(P.dirname(P.dirname(P.abspath(__file__))),
                   "experiments/quality_gate_lits_control.json")
     with open(path, "w") as f:
+        from efficientq_tpu.utils.toolchain import toolchain_fingerprint
+        out["toolchain"] = toolchain_fingerprint()
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 

@@ -431,3 +431,25 @@ def test_mesh_shape_cli_flag():
     bad = SimpleNamespace(mesh_shape="2,4", batch_size=3)
     with pytest.raises(ValueError):
         _make_dp_mesh(bad, check_batch=True)
+
+
+def test_host_local_batch_uneven_multiprocess_raises(monkeypatch):
+    """Multi-process uneven batches fail fast with a named error (the
+    single-process fallback — place unsharded, let the in-jit constraint
+    distribute — has no multi-process analogue; without the guard the
+    failure surfaces as an opaque shape-assembly error deep inside
+    make_array_from_process_local_data)."""
+    import pytest
+
+    from efficientq_tpu.parallel import host_local_batch, make_mesh
+    from efficientq_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh(8)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    x = np.zeros((3, 4, 4, 4, 1), np.float32)  # 3 % (8/2 = 4 local shards)
+    with pytest.raises(ValueError, match="process-local batch"):
+        host_local_batch(mesh, x)
+    # single-process uneven batches still take the unsharded fallback
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 1)
+    out = host_local_batch(mesh, x)
+    assert out.shape == (3, 4, 4, 4, 1)

@@ -152,9 +152,33 @@ def test_qat_cli_surface(tmp_path, monkeypatch):
     assert P.isfile(sink)
     text = open(sink).read()
     assert "epoch 1" in text and "<- kept" in text
-    # the saved quantized state must be on-grid (deployable): reload and
-    # compare quantized vs fq forward
+    # the saved quantized state must be on-grid (deployable): reload the
+    # export and assert every quantized kernel is a fixed point of its
+    # fake-quant map — mode="quantized" (int codes) and mode="fq"
+    # (fake-quant from latent weights) provably agree iff the latent
+    # weights already sit on the grid, which is what snap_to_grid
+    # guarantees after STE training moved them off it
     import pickle
 
+    from efficientq_tpu.quant import fake_quant_weight
+
     with open(P.join(snap_ptq, "state_in_fp.pkl"), "rb") as f:
-        pickle.load(f)  # loadable
+        sd = pickle.load(f)["state_dict"]
+    overrides = sd["__qlvl_overrides__"]
+    assert overrides, "export must carry the per-layer grid map"
+    checked = 0
+    for name, (qlvl_w, _qlvl_a) in overrides.items():
+        if qlvl_w <= 0 or f"{name}.alpha_w" not in sd:
+            continue
+        w = np.asarray(sd[f"{name}.weight"], dtype=np.float32)
+        alpha = np.asarray(sd[f"{name}.alpha_w"], dtype=np.float32)
+        # torch layout (O, I, kd, kh, kw) -> per-O alpha broadcast
+        a = alpha.reshape((-1,) + (1,) * (w.ndim - 1))
+        snapped = np.asarray(
+            fake_quant_weight(jnp.asarray(np.moveaxis(w, 0, -1)),
+                              jnp.asarray(alpha), qlvl_w))
+        np.testing.assert_allclose(np.moveaxis(w, 0, -1), snapped,
+                                   atol=1e-6, rtol=0)
+        assert a.shape[0] in (1, w.shape[0])
+        checked += 1
+    assert checked > 0
