@@ -146,15 +146,8 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
                                                   yp).astype(out_dtype)
 
 
-def _ring_flat_pitch(W: int) -> int:
-    """Row pitch of the flat-frame im2col: smallest sublane-aligned
-    (multiple-of-8) width >= W + 2 (left halo 1 + right halo 1)."""
-    return -(-(W + 2) // 8) * 8
-
-
 def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
-                         has_res, res_relu, quant_qlvl, pool, O, taps,
-                         flat):
+                         has_res, res_relu, quant_qlvl, pool, O, taps):
     """Ring-accumulator variant (dil=1): ONE program per INPUT plane.
 
     The plane-per-output formulation wastes the MXU's N dimension on
@@ -189,12 +182,18 @@ def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # 1) accumulate input plane u = zi (when it exists): one padded im2col,
+    # 1) accumulate input plane u = zi (when it exists): one padded im2col
+    #    (HOISTED out of the residue branches — the pad + lane concats are
+    #    residue-independent, only the packed-weight variant differs),
     #    3 kh dots at N = 3O, one full-width add into the rotating slots
+    qa = jnp.pad(plane_ref[0, 0], ((1, 1), (1, 1), (0, 0)))
+    if not taps:
+        cols3 = [jnp.concatenate(
+            [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
+             for kw in range(3)], axis=1) for kh in range(3)]
     for r in range(3):
         @pl.when((zi < D) & (zi % 3 == r))
         def _accum(r=r):
-            qa = jnp.pad(plane_ref[0, 0], ((1, 1), (1, 1), (0, 0)))
             part = None
             if taps:
                 # tap-dot form: one (H·W, C) x (C, 3O) dot per (kh, kw) tap,
@@ -213,10 +212,7 @@ def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
                         part = d if part is None else part + d
             else:
                 for kh in range(3):
-                    cols = jnp.concatenate(
-                        [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
-                         for kw in range(3)], axis=1)
-                    d_kh = jnp.dot(cols, w_ref[r, kh],
+                    d_kh = jnp.dot(cols3[kh], w_ref[r, kh],
                                    preferred_element_type=jnp.int32)
                     part = d_kh if part is None else part + d_kh
             if r == 0:
@@ -262,6 +258,114 @@ def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
                                                  yp.astype(out_dtype))
             acc_ref[:, s * O:(s + 1) * O] = jnp.zeros(
                 (H * W, O), jnp.int32)
+
+
+def _qconv3d_ring_tz_kernel(scale_ref, p0_ref, *refs, H, W, D, out_dtype,
+                            has_res, res_relu, quant_qlvl, pool, O, TZ):
+    """Multi-plane ring kernel: TZ input planes + TZ output planes per
+    program, grid (n, D // TZ).
+
+    Same ring-slot algebra as `_qconv3d_ring_kernel` (slot = output z mod
+    3, kd taps packed into the dot's N dim via `_ring_weight_perm`), but
+    the per-program fixed costs — DMA issue, grid sequencing, the
+    revisited-output-block handling — amortize over TZ planes, and the
+    output/residual/pool blocks become ALIGNED (1, TZ, ...) blocks with
+    no cross-program revisits (measured r4: the single-plane ring's
+    per-program overhead was ~2-4 us against a ~1-3 us data floor, i.e.
+    the 64^3 serving convs ran 1.8-2.8x over their stream floor).
+
+    Program zi:
+        accumulate plane 0                    (zi == 0 only; extra ref)
+        for k in 0..TZ-1:
+            accumulate input plane u = zi*TZ + k + 1     (skipped at u=D)
+            finalize output z = u - 1 into o_ref[0, k]
+
+    Every input plane is read exactly once across the grid; outputs are
+    bit-identical to the other kernels (integer accumulation is exact).
+
+    refs = TZ plane refs, [res_ref], w_ref (3, 3, 3C, 3O), sb_ref,
+    o_ref[, pool_ref][, pool_scratch], acc_ref."""
+    rest = list(refs)
+    planes = [rest.pop(0) for _ in range(TZ)]
+    res_ref = rest.pop(0) if has_res else None
+    w_ref, sb_ref, o_ref = rest[0], rest[1], rest[2]
+    pool_ref = rest[3] if pool else None
+    pool_scr = rest[-2] if pool else None
+    acc_ref = rest[-1]
+    zi = pl.program_id(1)
+
+    @pl.when(zi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def im2col(raw):
+        qa = jnp.pad(raw, ((1, 1), (1, 1), (0, 0)))
+        return [jnp.concatenate(
+            [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
+             for kw in range(3)], axis=1) for kh in range(3)]
+
+    @pl.when(zi == 0)
+    def _first_plane():
+        # plane 0 (residue 0), with its kd=2 tap (output z = -1, the conv's
+        # zero padding) masked off slot 2 — same mask as the 1-plane kernel
+        cols3 = im2col(p0_ref[0, 0])
+        part = None
+        for kh in range(3):
+            d_kh = jnp.dot(cols3[kh], w_ref[0, kh],
+                           preferred_element_type=jnp.int32)
+            part = d_kh if part is None else part + d_kh
+        col = jax.lax.broadcasted_iota(jnp.int32, part.shape, 1)
+        part = jnp.where(col >= 2 * O, 0, part)
+        acc_ref[...] = acc_ref[...] + part
+
+    for k in range(TZ):
+        u = zi * TZ + k + 1
+        # hoisted im2col: residue-independent (only the packed-weight
+        # variant differs); wasted work only on the final program's u = D
+        # tap, which the residue branches mask off
+        cols3 = im2col(planes[k][0, 0])
+        for r in range(3):
+            @pl.when((u < D) & (u % 3 == r))
+            def _acc(r=r, cols3=cols3):
+                part = None
+                for kh in range(3):
+                    d_kh = jnp.dot(cols3[kh], w_ref[r, kh],
+                                   preferred_element_type=jnp.int32)
+                    part = d_kh if part is None else part + d_kh
+                acc_ref[...] = acc_ref[...] + part
+        # finalize output z = u - 1 (all three of its taps accumulated)
+        z = zi * TZ + k
+        for s in range(3):
+            @pl.when(z % 3 == s)
+            def _fin(s=s, k=k):
+                acc = acc_ref[:, s * O:(s + 1) * O]
+                y = (acc.astype(jnp.float32) * sb_ref[0]
+                     + sb_ref[1]).reshape(H, W, -1)
+                if has_res:
+                    rr = res_ref[0, k].astype(jnp.float32)
+                    if res_relu:
+                        rr = jnp.maximum(rr, 0.0)
+                    y = y + rr
+                if quant_qlvl:
+                    q = (jnp.clip(y / scale_ref[0], 0.0, 1.0)
+                         * (quant_qlvl - 1))
+                    o_ref[0, k] = jnp.round(q).astype(jnp.int8)
+                else:
+                    o_ref[0, k] = y.astype(out_dtype)
+                if pool:
+                    # TZ is even: the z-pair lives within one program —
+                    # stash the even plane's pooled rows in VMEM scratch,
+                    # merge + write on the odd plane (k parity == z parity
+                    # since TZ is even)
+                    yp = jnp.max(y.reshape(H // 2, 2, W // 2, 2, -1),
+                                 axis=(1, 3))
+                    if k % 2 == 0:
+                        pool_scr[...] = yp
+                    else:
+                        pool_ref[0, k // 2] = jnp.maximum(
+                            pool_scr[...], yp).astype(out_dtype)
+                acc_ref[:, s * O:(s + 1) * O] = jnp.zeros(
+                    (H * W, O), jnp.int32)
 
 
 def _ring_weight_perm(w_mat: jax.Array, o: int) -> jax.Array:
@@ -333,13 +437,16 @@ def qconv3x3_int8_ndhwc(
                                (y, y_pool).  Never combined with the quant
                                epilogue (different consumers).
 
-    ring selects the accumulator formulation (bit-exact either way):
+    ring selects the accumulator formulation (bit-exact in every case):
       'auto'  — ring kernel where the kd-packed dot reduces padded MXU
-                work (narrow nets, dil 1, VMEM fits), else z-tiled kernel
+                work (narrow nets, dil 1, VMEM fits), else z-tiled kernel;
+                multi-plane (TZ) ring where depth/VMEM allow
       'off'   — always the z-tiled kernel
-      'force' — always the ring kernel (concat im2col)
-      'taps'  — ring kernel with tap-dot im2col (9 small dots, no lane
-                concat) — measured 1.69x SLOWER on this toolchain
+      'force' — always the ring kernel (multi-plane where it fits)
+      'ring1' — ring kernel pinned to ONE plane per program (the r4
+                kernel; kept for A/B against the multi-plane form)
+      'taps'  — single-plane ring with tap-dot im2col (9 small dots, no
+                lane concat) — measured 1.69x SLOWER on this toolchain
                 (scripts/ring_tap_bench.py); kept for future-toolchain A/B
 
     A fused-lane (H, W*C) layout variant was tried for the low-C stages
@@ -443,13 +550,86 @@ def qconv3x3_int8_ndhwc(
                 + (h * w_sp * _pad128(o) * out_bytes // 2 if pool else 0))
 
     use_ring = _HAS_PLTPU and dil == 1 and d >= 2 and (
-        ring in ("force", "taps")
+        ring in ("force", "taps", "ring1")
         or (ring == "auto" and h * w_sp >= 1024
             and _pad128(3 * o) < 3 * _pad128(o)
             and est_ring_vmem(res_bytes) < 13 * 1024 * 1024))
     # 'taps' forces the ring with tap-dot im2col (9 small dots, no lane
-    # concat); 'force' pins the concat form (A/B: scripts/ring_tap_bench.py)
+    # concat); 'ring1' pins one plane per program (A/B vs multi-plane)
     use_taps = ring == "taps"
+
+    # multi-plane ring (TZ input + TZ output planes per program): the
+    # per-program fixed cost (~2-4 us measured r4) amortizes over TZ and
+    # the out/residual blocks become aligned — engaged when depth divides
+    # and the extra live blocks fit VMEM (budget tuned on hardware)
+    def est_ring_tz_vmem(t, rb):
+        return ((t + 1) * h * w_sp * _pad128(c) * 2      # plane refs + p0
+                + t * hp * wp * _pad128(c)               # padded copies
+                + 3 * h * w_sp * _pad128(3 * c)          # hoisted im2col
+                + h * w_sp * _pad128(3 * o) * 4 * 2      # ring acc + temp
+                + h * w_sp * _pad128(o) * 4              # y f32
+                + t * h * w_sp * _pad128(o) * out_bytes * 2   # out block x2
+                + t * h * w_sp * _pad128(o) * rb * 2          # residual x2
+                + (h * w_sp * _pad128(o) * (4 + out_bytes) // 4
+                   if pool else 0))                      # pool scr + out
+
+    ring_tz = 1
+    if use_ring and not use_taps and ring != "ring1":
+        for t in (4, 2):
+            if (d % t == 0 and d > t
+                    and est_ring_tz_vmem(t, res_bytes) < 14 * 1024 * 1024):
+                ring_tz = t
+                break
+    if use_ring and ring_tz > 1:
+        kernel = functools.partial(
+            _qconv3d_ring_tz_kernel, H=h, W=w_sp, D=d, out_dtype=out_dtype,
+            has_res=residual is not None, res_relu=residual_relu,
+            quant_qlvl=quant_qlvl, pool=pool, O=o, TZ=ring_tz)
+        plane_spec = [
+            pl.BlockSpec((1, 1, h, w_sp, c),
+                         lambda ni, zi, _k=k: (
+                             ni, jnp.clip(zi * ring_tz + _k + 1, 0, d - 1),
+                             0, 0, 0))
+            for k in range(ring_tz)
+        ]
+        res_spec = ([pl.BlockSpec((1, ring_tz, h, w_sp, o),
+                                  lambda ni, zi: (ni, zi, 0, 0, 0))]
+                    if residual is not None else [])
+        res_arg = [residual] if residual is not None else []
+        out_specs = [pl.BlockSpec((1, ring_tz, h, w_sp, o),
+                                  lambda ni, zi: (ni, zi, 0, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct(
+            (n, d, h, w_sp, o), jnp.int8 if quant_qlvl else out_dtype)]
+        scratch = [pltpu.VMEM((h * w_sp, 3 * o), jnp.int32)]
+        if pool:
+            out_specs.append(pl.BlockSpec(
+                (1, ring_tz // 2, h // 2, w_sp // 2, o),
+                lambda ni, zi: (ni, zi, 0, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (n, d // 2, h // 2, w_sp // 2, o), out_dtype))
+            scratch.insert(0, pltpu.VMEM((h // 2, w_sp // 2, o),
+                                         jnp.float32))
+        out = pl.pallas_call(
+            kernel,
+            grid=(n, d // ring_tz),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret
+                else pl.BlockSpec((1,), lambda ni, zi: (0,)),
+                pl.BlockSpec((1, 1, h, w_sp, c),
+                             lambda ni, zi: (ni, 0, 0, 0, 0)),
+                *plane_spec,
+                *res_spec,
+                pl.BlockSpec((3, 3, 3 * c, 3 * o),
+                             lambda ni, zi: (0, 0, 0, 0)),
+                pl.BlockSpec((2, o), lambda ni, zi: (0, 0)),
+            ],
+            out_specs=out_specs if pool else out_specs[0],
+            out_shape=out_shape if pool else out_shape[0],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(scale1, qa, *([qa] * ring_tz), *res_arg,
+          _ring_weight_perm(w_mat, o), sb)
+        return tuple(out) if pool else out
     if use_ring:
         kernel = functools.partial(_qconv3d_ring_kernel, H=h, W=w_sp, D=d,
                                    out_dtype=out_dtype,

@@ -242,8 +242,89 @@ def _stem_kernel(meta_ref, par_ref, *refs, H, W, C8, tz, qlvl, out_dtype):
         os8_ref[0, z] = jnp.round(q).astype(jnp.int8)
 
 
+def _stem_ring_weights(w_even, w_odd):
+    """(2, 4C8, O) kd2-tap matrices -> per-residue packed forms for the
+    ring kernel.
+
+    Plane u contributes tap kd2=0 to output u (slot u%2) and tap kd2=1 to
+    output u-1 (slot (u-1)%2), so the residue-r pack places tap 0 at slot
+    r and tap 1 at slot 1-r; a single (H·W, 4C8) x (4C8, 2O) dot then
+    lands both taps with ONE full-width accumulate.  ``w_first`` covers
+    plane 0 (tap 0 -> slot 0 only; its tap-1 target, output -1, is the
+    conv's zero padding and must not pollute slot 1)."""
+    def pack(w):
+        return jnp.stack([jnp.concatenate([w[0], w[1]], axis=-1),
+                          jnp.concatenate([w[1], w[0]], axis=-1)])
+
+    w_first = jnp.concatenate([w_odd[0], jnp.zeros_like(w_odd[0])], axis=-1)
+    return pack(w_even), pack(w_odd), w_first
+
+
+def _stem_ring_kernel(meta_ref, par_ref, p0_ref, plane_ref, wpe_ref,
+                      wpo_ref, wf_ref, b_ref, obf_ref, os8_ref, acc_ref,
+                      *, H, W, C8, D, qlvl, out_dtype, O):
+    """Ring-accumulator stem: ONE program per INPUT plane (grid (b, D)).
+
+    The z-tiled kernel reads each s2d plane twice (taps of outputs t-1 and
+    t) at tz=1 — the VMEM budget at the 64^2 flagship geometry blocks
+    tz>1, so the stem ran at its 2x-read-amplified floor (2.82 ms vs a
+    1.7 ms single-read floor, r5 profile).  Here program zi accumulates
+    plane u=zi+1's BOTH taps with one packed dot (see _stem_ring_weights)
+    into a 2-slot f32 ring and finalizes output z=zi — every plane read
+    once, half the dots.  f32 accumulation order matches the z-tiled
+    kernel (tap 0 then tap 1), so outputs are bit-identical."""
+    ni = pl.program_id(0)
+    zi = pl.program_id(1)
+    par = par_ref[ni]
+    alpha = meta_ref[0]
+
+    @pl.when(zi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def im2col(raw):
+        qa = jnp.pad(raw, ((1, 0), (1, 0), (0, 0)))
+        return jnp.concatenate(
+            [qa[kh2:kh2 + H, kw2:kw2 + W, :].reshape(H * W, -1)
+             for kh2 in range(2) for kw2 in range(2)], axis=1)
+
+    @pl.when(zi == 0)
+    def _p0():
+        # plane 0: even-parity patches carry a physical zero plane (its
+        # contribution is exactly zero whatever the weights); odd-parity
+        # patches hold real data whose pz=0 phase lanes are the conv's
+        # zero padding at z'=0 — masked, same keep-rule as _stem_kernel
+        cols = im2col(p0_ref[0, 0])
+        lane = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 1)
+        cols = jnp.where(lane % C8 >= C8 // 2, cols,
+                         jnp.zeros_like(cols))
+        acc_ref[...] = acc_ref[...] + jnp.dot(
+            cols, wf_ref[...], preferred_element_type=jnp.float32)
+
+    cols = im2col(plane_ref[0, 0])
+    for r in range(2):
+        @pl.when((zi + 1) % 2 == r)
+        def _acc(r=r):
+            w = jnp.where(par > 0, wpo_ref[r], wpe_ref[r])
+            acc_ref[...] = acc_ref[...] + jnp.dot(
+                cols, w, preferred_element_type=jnp.float32)
+
+    for s in range(2):
+        @pl.when(zi % 2 == s)
+        def _fin(s=s):
+            y = jnp.maximum(acc_ref[:, s * O:(s + 1) * O] + b_ref[:],
+                            0.0).reshape(H, W, -1)
+            yd = y.astype(out_dtype)
+            obf_ref[0, 0] = yd
+            q = jnp.clip(yd.astype(jnp.float32) / alpha, 0.0, 1.0) \
+                * (qlvl - 1)
+            os8_ref[0, 0] = jnp.round(q).astype(jnp.int8)
+            acc_ref[:, s * O:(s + 1) * O] = jnp.zeros((H * W, O),
+                                                      jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("qlvl_next", "interpret",
-                                             "out_dtype"))
+                                             "out_dtype", "ring"))
 def stem_s2d_conv(
     x: jax.Array,
     parities: jax.Array,
@@ -254,6 +335,7 @@ def stem_s2d_conv(
     qlvl_next: int,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    ring: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused s2d stem: (relu(conv(x) + b), int8 codes of the same).
 
@@ -284,6 +366,59 @@ def stem_s2d_conv(
         if d % t == 0 and est_vmem(t) < 10 * 1024 * 1024:
             tz = t
             break
+
+    # ring variant (see _stem_ring_kernel): each plane read ONCE, both
+    # kd2 taps in one packed dot — engaged when the z-tiled kernel is
+    # stuck at tz=1 (its 2x read amplification is then the floor) and the
+    # ring working set fits VMEM.  Bit-identical outputs.
+    def est_ring_vmem():
+        plane = h * w_sp * _pad128(c8) * 2
+        return (3 * plane                            # plane ref x2 + p0
+                + (h + 1) * (w_sp + 1) * _pad128(c8) * 2   # padded copy
+                + h * w_sp * _pad128(4 * c8) * 2     # im2col block
+                + 2 * h * w_sp * _pad128(2 * o) * 4  # ring acc + dot out
+                + h * w_sp * _pad128(o) * 4          # y f32
+                + h * w_sp * _pad128(o) * 2 * 2 * 2  # bf16 out x2 (+ yd)
+                + h * w_sp * _pad128(o) * 1 * 2)     # s8 out x2
+
+    use_ring = ring == "force" or (
+        ring == "auto" and tz == 1 and d >= 2
+        and est_ring_vmem() < 15 * 1024 * 1024)
+    if use_ring:
+        smem = (pl.BlockSpec(memory_space=pltpu.SMEM)
+                if _HAS_PLTPU and not interpret else None)
+        wpe, wpo, wf = _stem_ring_weights(w_even, w_odd)
+        out = pl.pallas_call(
+            functools.partial(_stem_ring_kernel, H=h, W=w_sp, C8=c8, D=d,
+                              qlvl=qlvl_next, out_dtype=out_dtype, O=o),
+            grid=(b, d),
+            in_specs=[
+                smem or pl.BlockSpec((1,), lambda ni, zi: (0,)),
+                smem or pl.BlockSpec((b,), lambda ni, zi: (0,)),
+                pl.BlockSpec((1, 1, h, w_sp, c8),
+                             lambda ni, zi: (ni, 0, 0, 0, 0)),
+                pl.BlockSpec((1, 1, h, w_sp, c8),
+                             lambda ni, zi: (ni, zi + 1, 0, 0, 0)),
+                pl.BlockSpec((2, 4 * c8, 2 * o), lambda ni, zi: (0, 0, 0)),
+                pl.BlockSpec((2, 4 * c8, 2 * o), lambda ni, zi: (0, 0, 0)),
+                pl.BlockSpec((4 * c8, 2 * o), lambda ni, zi: (0, 0)),
+                pl.BlockSpec((1, o), lambda ni, zi: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, h, w_sp, o),
+                             lambda ni, zi: (ni, zi, 0, 0, 0)),
+                pl.BlockSpec((1, 1, h, w_sp, o),
+                             lambda ni, zi: (ni, zi, 0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, d, h, w_sp, o), out_dtype),
+                jax.ShapeDtypeStruct((b, d, h, w_sp, o), jnp.int8),
+            ],
+            scratch_shapes=[pltpu.VMEM((h * w_sp, 2 * o), jnp.float32)],
+            interpret=interpret,
+        )(meta, par, x, x, wpe, wpo, wf,
+          bias.reshape(1, o).astype(jnp.float32))
+        return tuple(out)
 
     kernel = functools.partial(_stem_kernel, H=h, W=w_sp, C8=c8, tz=tz,
                                qlvl=qlvl_next, out_dtype=out_dtype)

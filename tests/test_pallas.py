@@ -410,7 +410,8 @@ def test_qconv3x3_ring_variant_bit_exact():
     na, alpha, scale = 4, 0.9, 0.37
     for n, d, h, w, c, o in ((2, 5, 6, 6, 5, 7),    # batch 2, odd depth
                              (1, 2, 6, 6, 5, 7),    # minimum depth
-                             (1, 4, 8, 8, 4, 6)):   # pool-compatible dims
+                             (1, 4, 8, 8, 4, 6),    # pool dims; ring TZ=2
+                             (2, 8, 8, 8, 4, 6)):   # ring TZ=4 + batch
         x = jnp.asarray(np.abs(rng.randn(n, d, h, w, c)).astype(np.float32))
         codes = jnp.asarray(
             rng.randint(-3, 4, size=(3, 3, 3, c, o)).astype(np.int8))
@@ -427,7 +428,10 @@ def test_qconv3x3_ring_variant_bit_exact():
         for kw in cases:
             ref = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
                                       interpret=True, ring="off", **kw)
-            for mode in ("force", "taps"):
+            # 'force' engages the multi-plane (TZ) ring where depth
+            # divides; 'ring1' pins the single-plane kernel — both must
+            # be bit-identical to the z-tiled reference
+            for mode in ("force", "ring1", "taps"):
                 got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
                                           interpret=True, ring=mode, **kw)
                 if kw.get("pool"):

@@ -61,6 +61,15 @@ def test_stem_kernel_matches_direct_conv(depth):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
     assert int(jnp.sum(q != q_ref)) == 0
 
+    # ring variant (_stem_ring_kernel): every plane read once, both kd2
+    # taps in one packed dot — must be BIT-identical to the z-tiled kernel
+    yr, qr = stem_s2d_conv(sp, par, jnp.asarray(we, jnp.bfloat16),
+                           jnp.asarray(wo, jnp.bfloat16),
+                           jnp.asarray(bias), alpha, qlvl, interpret=True,
+                           out_dtype=jnp.float32, ring="force")
+    np.testing.assert_array_equal(np.asarray(yr), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(qr), np.asarray(q))
+
 
 def test_s2d_volume_roundtrip():
     rng = np.random.RandomState(0)
