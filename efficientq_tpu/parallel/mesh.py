@@ -153,6 +153,12 @@ def shard_batch(mesh: Mesh, arr, axis_name: str = "data"):
 
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        # process-local jax.Arrays can't be re-placed onto a mesh spanning
+        # non-addressable devices; host (numpy) values can — every process
+        # holds identical values by the replication contract
+        return jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), sh), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
@@ -357,8 +363,15 @@ def make_sharded_volume_inferencer(graph, mesh, mode: str = "fp",
         if cache["vars"] is not variables:
             cache["vars"] = variables
             cache["repl"] = replicate(mesh, variables)
-        return run(cache["repl"], jnp.asarray(image),
-                   tuple(ops.triple(patch_size)),
+        if jax.process_count() > 1:
+            # multi-process: a plain jnp.asarray is process-local and the
+            # jitted mesh constraint would reject it — place the volume
+            # replicated on the global mesh (callers pass identical host
+            # volumes on every process, the eval-loop contract)
+            image = jax.device_put(np.asarray(image), replicated(mesh))
+        else:
+            image = jnp.asarray(image)
+        return run(cache["repl"], image, tuple(ops.triple(patch_size)),
                    tuple(ops.triple(overlap)))
 
     return infer
