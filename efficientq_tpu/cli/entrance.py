@@ -153,6 +153,21 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mixed_qlvl", type=int, default=16,
                         help="quantization levels for the lifted layers "
                              "(16 = 4-bit)")
+    # ours: offset (signed-asymmetric) activation grids — the reference's
+    # activation quantizer is unsigned (src/models/layer_helper.py:25-37);
+    # layers whose inputs carry negative mass saturate at zero, the
+    # measured W2A2 tail-collapse mechanism (docs/quantization.md).
+    parser.add_argument("--act_offset", type=int, default=0,
+                        help="EXPERIMENTAL: search offset activation grids "
+                             "shifting up to K of the qlvl_a levels below "
+                             "zero, per layer by input reconstruction "
+                             "error (0 = off; deployment stays exact int8 "
+                             "via signed codes)")
+    parser.add_argument("--act_offset_scope", choices=["tail", "all"],
+                        default="tail",
+                        help="which convs the --act_offset search covers: "
+                             "'tail' = the last ResBlock's (the basin-"
+                             "trigger set), 'all' = every q_act conv")
     # ours: calibration-volume selection (ptq/select.py) — the reference
     # leaves --lwq_dataid to the user with no guidance (src/ptqer.py:86-109)
     # while at 2-bit the draw swings dice ~0.1 (docs/quantization.md).

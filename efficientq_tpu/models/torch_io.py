@@ -63,6 +63,12 @@ def load_torch_state_dict(graph: Graph, variables, state_dict: Mapping, strict=F
                     # be per-output-channel vectors (channel_wise)
                     params[node.name][alpha] = jnp.asarray(
                         a.reshape(()) if a.size == 1 else a)
+            if f"{node.name}.act_k" in sd:
+                # offset-activation-grid shift (run_ptq act_offset) — ours
+                # only, absent from reference checkpoints
+                params[node.name]["act_k"] = jnp.asarray(
+                    np.asarray(sd[f"{node.name}.act_k"]).reshape(()),
+                    jnp.int32)
         elif node.op == "bn":
             m = {"scale": "weight", "bias": "bias"}
             for ours, theirs in m.items():
@@ -164,7 +170,7 @@ def to_torch_state_dict(graph: Graph, variables) -> Dict[str, np.ndarray]:
                                                       (4, 3, 0, 1, 2))
             if "bias" in p:
                 out[f"{node.name}.bias"] = np.asarray(p["bias"])
-            for alpha in ("alpha_w", "alpha_act"):
+            for alpha in ("alpha_w", "alpha_act", "act_k"):
                 if alpha in p:
                     out[f"{node.name}.{alpha}"] = np.asarray(p[alpha])
         elif node.op == "bn":

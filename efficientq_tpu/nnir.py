@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ops
-from .quant import fake_quant_act, fake_quant_weight
+from .quant import fake_quant_act, fake_quant_act_k, fake_quant_weight
 
 
 @dataclasses.dataclass(frozen=True)
@@ -247,9 +247,10 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
                 # nodes (pallas/epilogue.py::_fuse_pools)
                 pool=bool(a.get("epilogue_pool")),
                 # ring-accumulator A/B override for profiling (EFFQ_RING=
-                # off|auto|force|taps — see qconv3x3_int8_ndhwc docstring);
-                # default 'auto' engages where the kd-packed dot reduces
-                # padded MXU work — bit-exact either way
+                # off|auto|force|ring1|taps — see qconv3x3_int8_ndhwc
+                # docstring); default 'auto' engages where the kd-packed
+                # dot reduces padded MXU work, multi-plane (TZ) where
+                # depth/VMEM allow — bit-exact in every case
                 ring=os.environ.get("EFFQ_RING", "auto"))
         if a.get("int8"):
             y = fused_int8_matmul(
@@ -268,6 +269,14 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
         # bit-exact with the fake-quant computation
         if a.get("input_quantized"):
             qa = x  # producer emitted this conv's codes (pallas/epilogue.py)
+        elif a.get("act_k"):
+            # offset activation grid (quant.fake_quant_act_k): signed codes
+            # in [-k, n-1-k]; zero stays on the grid, so the conv's zero
+            # padding and the scale epilogue are unchanged
+            ak = a["act_k"]
+            qa = jnp.clip(jnp.round(x / p["alpha_act"]
+                                    * (qcfg.qlvl_act - 1)),
+                          -ak, qcfg.qlvl_act - 1 - ak).astype(jnp.int8)
         else:
             qa = jnp.round(jnp.clip(x / p["alpha_act"], 0.0, 1.0)
                            * (qcfg.qlvl_act - 1)).astype(jnp.int8)
@@ -282,7 +291,13 @@ def _eval_conv(node: Node, params: Dict[str, Any], ins, mode: str, precision,
     bias = p.get("bias")
     if qcfg is not None and mode in ("quantized", "fq"):
         if qcfg.q_act:
-            x = fake_quant_act(x, p["alpha_act"], qcfg.qlvl_act)
+            # offset grid chosen at calibration (run_ptq act_offset):
+            # static attr (deploy/QAT bake it) or calibrated param
+            ak = a.get("act_k", p.get("act_k"))
+            if ak is None:
+                x = fake_quant_act(x, p["alpha_act"], qcfg.qlvl_act)
+            else:
+                x = fake_quant_act_k(x, p["alpha_act"], qcfg.qlvl_act, ak)
         if mode == "fq" and qcfg.q_weight:
             # emulate quantization without a PTQ pass (weights quantized on
             # the fly); after PTQ the stored kernel already holds quantized
@@ -345,7 +360,12 @@ def eval_node(node: Node, params: Dict[str, Any], state: Dict[str, Any],
         kernel = p["kernel"]
         if qcfg is not None and mode in ("quantized", "fq"):
             if qcfg.q_act:
-                x = fake_quant_act(x, p["alpha_act"], qcfg.qlvl_act)
+                ak = a.get("act_k", p.get("act_k"))
+                if ak is None:
+                    x = fake_quant_act(x, p["alpha_act"], qcfg.qlvl_act)
+                else:
+                    x = fake_quant_act_k(x, p["alpha_act"], qcfg.qlvl_act,
+                                         ak)
             if mode == "fq" and qcfg.q_weight:
                 kernel = fake_quant_weight(kernel, p["alpha_w"], qcfg.qlvl_w)
         if compute_dtype is not None:

@@ -85,6 +85,10 @@ def fuse_int8_epilogues(graph: Graph) -> Graph:
             if (after is not None and after.op == "conv"
                     and after.attrs.get("int8")
                     and not after.attrs.get("input_quantized")
+                    # offset-grid consumers (act_k) keep their own XLA
+                    # act-quant: the in-kernel quant epilogue emits
+                    # unsigned [0, n-1] codes
+                    and not after.attrs.get("act_k")
                     and after.attrs.get("qcfg") is not None
                     and after.attrs["qcfg"].q_act
                     # the Pallas 1x1 matmuls quantize internally and have
@@ -168,6 +172,9 @@ def _quant_absorbs_relu(node: Node) -> bool:
     redundant.  Same eligibility as the quant-epilogue rewrite."""
     return (node.op == "conv" and node.attrs.get("int8")
             and not node.attrs.get("input_quantized")
+            # an offset grid (act_k) keeps k levels BELOW zero — its clip
+            # is not a relu, so the relu stays materialized
+            and not node.attrs.get("act_k")
             and node.attrs.get("qcfg") is not None
             and node.attrs["qcfg"].q_act
             and (not node.attrs.get("pallas")

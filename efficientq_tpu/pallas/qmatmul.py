@@ -201,6 +201,10 @@ def to_pallas_inference(graph, include_1x1: bool = False):
     for node in graph.nodes:
         qcfg = node.attrs.get("qcfg")
         if (node.op == "conv" and qcfg is not None and qcfg.q_act
+                # offset-grid (act_k) layers keep the XLA realization: the
+                # fused kernels' act-quant prologues assume the unsigned
+                # grid (ptq/deploy.py::act_k_of)
+                and not node.attrs.get("act_k")
                 and ((include_1x1 and _pallas_1x1_eligible(node.attrs))
                      or (node.attrs.get("int8")
                          and _pallas_3x3_int8_eligible(node.attrs)))):

@@ -162,6 +162,7 @@ def calibrate_layer_sharded(
     has_bias: bool,
     hp,
     qlvl_act=None,
+    act_search: int = 0,
     axis_name: str = "data",
 ):
     """Mesh-parallel variant of ``ptq.admm.calibrate_layer``: the Gram
@@ -175,15 +176,43 @@ def calibrate_layer_sharded(
     from ..ptq.admm import calibrate_from_stats
 
     alpha_act = None
+    act_k = jnp.int32(0)
     if qlvl_act is not None:
-        a_act, b_act = _jitted_project(x, qlvl_act, 0.0, 1.0)
+        if act_search:
+            # offset-grid search, mirroring ptq.admm.calibrate_layer: pick
+            # the shift k whose jointly-optimal scale minimizes the input
+            # reconstruction error (ties keep the unsigned grid)
+            delta = 1.0 / (qlvl_act - 1)
+            best = (None, None, None)
+            for k in range(min(int(act_search), qlvl_act - 1) + 1):
+                lo = -k * delta
+                a_k, b_k = _jitted_project(x, qlvl_act, lo, lo + 1.0)
+                d = (x - a_k * b_k).ravel()
+                err = float(jnp.vdot(d, d,
+                                     precision=jax.lax.Precision.HIGHEST))
+                if best[0] is None or err < best[0]:
+                    best = (err, k, (a_k, b_k))
+            _, k, (a_act, b_act) = best
+            act_k = jnp.int32(k)
+        else:
+            a_act, b_act = _jitted_project(x, qlvl_act, 0.0, 1.0)
         alpha_act = a_act
         x = a_act * b_act
     stats = sharded_gram_stats(mesh, x, y_fp, att, ksize, stride, padding,
                                dilation, has_bias=has_bias,
                                axis_name=axis_name)
+    if jax.process_count() > 1:
+        # the merged Grams are mesh-global (replicated) arrays; the ADMM
+        # below runs as a process-local jit over local operands, which
+        # cannot mix with non-addressable-device arrays — pull the
+        # (replicated, hence locally materializable) stats to host first
+        stats = GramStats(
+            *[np.asarray(l) for l in (stats.A_att, stats.B_att, stats.A_unw,
+                                      stats.B_unw, stats.yy_att,
+                                      stats.yy_unw)],
+            stats.has_bias, stats.numel_y)
     res = calibrate_from_stats(stats, x, y_fp, kernel, bias, att,
                                ksize=ksize, stride=stride, padding=padding,
                                dilation=dilation, qlvl_w=qlvl_w,
                                has_bias=has_bias, hp=hp)
-    return {**res, "alpha_act": alpha_act}
+    return {**res, "alpha_act": alpha_act, "act_k": act_k}

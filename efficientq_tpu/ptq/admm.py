@@ -308,7 +308,8 @@ def calibrate_from_stats(
 
 
 @partial(jax.jit, static_argnames=("ksize", "stride", "padding", "dilation",
-                                   "qlvl_w", "qlvl_act", "has_bias", "hp"))
+                                   "qlvl_w", "qlvl_act", "has_bias", "hp",
+                                   "act_search"))
 def calibrate_layer(
     x_q: jax.Array,
     y_fp: jax.Array,
@@ -324,6 +325,7 @@ def calibrate_layer(
     has_bias: bool,
     hp: PTQHyperParams,
     qlvl_act: Optional[int] = None,
+    act_search: int = 0,
 ):
     """Calibrate one conv layer.
 
@@ -341,10 +343,37 @@ def calibrate_layer(
     loss (attention-weighted when att is given, EfficientQConv.py:161-166).
     """
     alpha_act = None
+    act_k = jnp.int32(0)
     if qlvl_act is not None:
-        a_act, b_act = project_by_iter(x_q, qlvl_act, 0.0, 1.0)
-        alpha_act = a_act
-        x_q = a_act * b_act
+        if act_search:
+            # offset-grid search (quant.fake_quant_act_k): candidate grids
+            # shift k of the qlvl_act levels below zero (k=0 = the
+            # reference's unsigned grid); pick the k whose jointly-optimal
+            # scale minimizes the input reconstruction error.  Ties keep
+            # the smallest k (argmin picks the first), i.e. the unsigned
+            # grid wins unless negative mass actually pays.
+            delta = 1.0 / (qlvl_act - 1)
+            n_cand = min(int(act_search), qlvl_act - 1) + 1
+            errs, alphas = [], []
+            for k in range(n_cand):
+                lo = -k * delta
+                a_k, b_k = project_by_iter(x_q, qlvl_act, lo, lo + 1.0)
+                d = (x_q - a_k * b_k).ravel()
+                errs.append(jnp.vdot(d, d,
+                                     precision=jax.lax.Precision.HIGHEST))
+                alphas.append(a_k)
+            best = jnp.argmin(jnp.stack(errs))
+            act_k = best.astype(jnp.int32)
+            alpha_act = jnp.stack(alphas)[best]
+            lo_b = -act_k.astype(jnp.float32) * delta
+            from ..quant import discretize
+
+            x_q = discretize(x_q / alpha_act, qlvl_act, lo_b,
+                             lo_b + 1.0) * alpha_act
+        else:
+            a_act, b_act = project_by_iter(x_q, qlvl_act, 0.0, 1.0)
+            alpha_act = a_act
+            x_q = a_act * b_act
 
     stats = compute_gram_stats(x_q, y_fp, att, ksize, stride, padding,
                                dilation, has_bias=has_bias)
@@ -352,4 +381,4 @@ def calibrate_layer(
                                ksize=ksize, stride=stride, padding=padding,
                                dilation=dilation, qlvl_w=qlvl_w,
                                has_bias=has_bias, hp=hp)
-    return {**res, "alpha_act": alpha_act}
+    return {**res, "alpha_act": alpha_act, "act_k": act_k}

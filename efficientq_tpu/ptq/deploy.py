@@ -56,6 +56,16 @@ def to_int8_inference(graph: Graph, variables, pallas: bool = None,
 
         pallas = jax.default_backend() == "tpu"
     params = {k: dict(v) for k, v in variables["params"].items()}
+
+    def act_k_of(node) -> int:
+        """Offset-grid shift calibrated for this conv (run_ptq
+        act_offset), baked into attrs as a STATIC int so the int8 eval
+        path and the Pallas-eligibility gates below see it (the fused
+        kernels' act-quant prologues/epilogues assume the unsigned grid;
+        offset layers keep the XLA realization of the same math)."""
+        v = params.get(node.name, {}).get("act_k")
+        return int(np.asarray(v)) if v is not None else 0
+
     new_nodes = []
     for node in graph.nodes:
         if (node.op == "conv" and eligible(node.attrs.get("qcfg"))
@@ -78,9 +88,17 @@ def to_int8_inference(graph: Graph, variables, pallas: bool = None,
             del p["kernel"]
             attrs = dict(node.attrs)
             attrs["int8"] = True
+            ak = act_k_of(node)
+            if ak:
+                attrs["act_k"] = ak
             new_nodes.append(dataclasses.replace(node, attrs=attrs))
         else:
-            new_nodes.append(dataclasses.replace(node, attrs=dict(node.attrs)))
+            attrs = dict(node.attrs)
+            if node.op == "conv":
+                ak = act_k_of(node)
+                if ak:
+                    attrs["act_k"] = ak
+            new_nodes.append(dataclasses.replace(node, attrs=attrs))
     out_graph = Graph(new_nodes, list(graph.outputs), graph.input_name)
     if pallas:
         from ..pallas.qmatmul import to_pallas_inference
@@ -204,6 +222,9 @@ def s2d_stem_serving(graph: Graph, variables):
     codes_edges = [(n, i) for (n, i) in edges
                    if i == 0 and n.op == "conv" and n.attrs.get("int8")
                    and n.attrs.get("pallas")
+                   # offset-grid consumers quantize with signed codes the
+                   # stem's unsigned quant epilogue cannot emit
+                   and not n.attrs.get("act_k")
                    and not n.attrs.get("input_quantized")]
     if len(codes_edges) != 1:
         return skip

@@ -162,18 +162,19 @@ def tail_sensitive_convs(graph: Graph, k: int = 2) -> List[str]:
     return body[-k:]
 
 
-def _layer_kw(node, qcfg, p, hp):
+def _layer_kw(node, qcfg, p, hp, act_search: int = 0):
     """The static calibrate_layer kwargs for one qconv — shared by the
     sweep and the AOT precompiler so their program signatures agree."""
     return dict(ksize=node.attrs["kernel_size"], stride=node.attrs["stride"],
                 padding=node.attrs["padding"],
                 dilation=node.attrs["dilation"], qlvl_w=qcfg.qlvl_w,
                 has_bias="bias" in p, hp=hp,
-                qlvl_act=qcfg.qlvl_act if qcfg.q_act else None)
+                qlvl_act=qcfg.qlvl_act if qcfg.q_act else None,
+                act_search=act_search)
 
 
 def _precompile_layer_programs(graph, params, state, calib_x, captured,
-                               pyramid, hp, verbose):
+                               pyramid, hp, verbose, act_search_for=None):
     """AOT-compile every distinct per-layer calibration program in a
     thread pool.  Returns {node_name: compiled}.  Shapes come from the FP
     capture (quantization is shape-preserving), so no device work happens
@@ -205,7 +206,9 @@ def _precompile_layer_programs(graph, params, state, calib_x, captured,
         x_sd = shapes[node.inputs[0]]
         y_sd = shapes[node.name]
         att = match_pyramid_level(pyramid, y_sd.shape)
-        kw = _layer_kw(node, qcfg, p, hp)
+        kw = _layer_kw(node, qcfg, p, hp,
+                       act_search=(act_search_for(node.name)
+                                   if act_search_for else 0))
         sig = (x_sd.shape, y_sd.shape,
                None if att is None else tuple(att.shape),
                tuple(p["kernel"].shape), "bias" in p,
@@ -276,6 +279,8 @@ def run_ptq(
     granularity: str = "layer",
     qlvl_overrides: Dict[str, Tuple[int, int]] = None,
     block_target: str = "quantized",
+    act_offset: int = 0,
+    act_offset_convs=None,
 ):
     """Calibrate every qconv of ``graph`` on one NDHWC calibration batch.
 
@@ -296,6 +301,13 @@ def run_ptq(
     per-layer quadratic with a shifted target, so the exit conv absorbs
     the in-block quantization error.  Ineligible convs fall back to
     layer-wise.
+
+    ``act_offset=K`` searches offset (signed-asymmetric) activation grids
+    per layer — k of the qlvl_act levels shifted below zero, k in 0..K,
+    picked by input reconstruction error (quant.fake_quant_act_k; the
+    chosen k is stored as params[...]['act_k'] and flows through fq
+    forward, int8 deployment and exports).  ``act_offset_convs`` limits
+    the search to the named convs (None = every q_act conv).
     """
     if granularity not in ("layer", "block"):
         raise ValueError(f"granularity must be 'layer' or 'block', "
@@ -359,11 +371,20 @@ def run_ptq(
     # remote-attached hosts (per-geometry executable fetch, BASELINE.md);
     # here all distinct per-layer programs are AOT-compiled in a thread
     # pool first and the sweep calls the compiled executables.
+    def act_search_for(name: str) -> int:
+        """Max offset-grid shift to search for this conv (0 = off)."""
+        if not act_offset:
+            return 0
+        if act_offset_convs is not None and name not in act_offset_convs:
+            return 0
+        return int(act_offset)
+
     precompiled = {}
     if mesh is None:
         t_pre = time.time()
         precompiled = _precompile_layer_programs(
-            graph, params, state, calib_x, captured, pyramid, hp, verbose)
+            graph, params, state, calib_x, captured, pyramid, hp, verbose,
+            act_search_for=act_search_for)
         if verbose and precompiled:
             print(f"precompiled {len(precompiled)} layer programs in "
                   f"{time.time() - t_pre:.1f}s")
@@ -462,7 +483,8 @@ def run_ptq(
                 # activation-scale search, Gram build, ADMM and the layer's
                 # quantized forward are ONE jitted program per layer
                 att = match_pyramid_level(pyramid, y_fp.shape)
-                kw = _layer_kw(node, qcfg, p, hp)
+                kw = _layer_kw(node, qcfg, p, hp,
+                               act_search=act_search_for(node.name))
                 try:
                     if mesh is not None:
                         from ..parallel.ptq import calibrate_layer_sharded
@@ -498,6 +520,10 @@ def run_ptq(
                 p["alpha_w"] = res["alpha_w"]
                 if res["alpha_act"] is not None:
                     p["alpha_act"] = res["alpha_act"]
+                if act_search_for(node.name) and res.get("act_k") is not None:
+                    # chosen offset-grid shift (0 = the unsigned grid) —
+                    # read by nnir's fq path, deployment and exports
+                    p["act_k"] = jnp.asarray(res["act_k"], jnp.int32)
                 layer_losses.append((node.name, float(res["loss_reported"])))
                 if "loss_relative" in res:
                     layer_rel_losses.append(

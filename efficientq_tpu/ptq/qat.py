@@ -74,6 +74,24 @@ def run_qat(fgraph, qvars, hub, *, num_mo: int, n_class: int,
     """
     from ..train.trainer import Trainer
 
+    # Offset-grid shifts (run_ptq act_offset) are integer params — Adam
+    # cannot carry an int32 leaf (and k must stay integral anyway): bake
+    # them into STATIC graph attrs for the fq forward (nnir reads attrs
+    # before params) and re-attach to the returned variables
+    import dataclasses as _dc
+
+    act_ks = {}
+    qvars = {"params": {k: dict(v) for k, v in qvars["params"].items()},
+             "state": dict(qvars.get("state", {}))}
+    for name, p in qvars["params"].items():
+        if "act_k" in p:
+            act_ks[name] = int(np.asarray(p.pop("act_k")))
+    if act_ks:
+        fgraph = _dc.replace(fgraph, nodes=[
+            (_dc.replace(n, attrs={**n.attrs, "act_k": act_ks[n.name]})
+             if n.name in act_ks else n) for n in fgraph.nodes],
+            _index=None)
+
     # Mirror Trainer's multi-process handling (trainer.py): under a
     # multi-process mesh the sliding-window eval path is single-process
     # (host-local patch arrays vs globally-replicated params would mix in
@@ -138,6 +156,8 @@ def run_qat(fgraph, qvars, hub, *, num_mo: int, n_class: int,
 
     out = {"params": jax.tree.map(jnp.asarray, best["params"]),
            "state": dict(qvars.get("state", {}))}
+    for name, k in act_ks.items():
+        out["params"][name]["act_k"] = jnp.int32(k)
     snap_to_grid(fgraph, out)
     log = {"kept_epoch": best["epoch"], "kept_dice": best["dice"],
            "history": history}

@@ -120,6 +120,26 @@ def fake_quant_act(x, alpha_act, num_lvl):
     return discretize(x / alpha_act, num_lvl, 0.0, 1.0) * alpha_act
 
 
+def fake_quant_act_k(x, alpha_act, num_lvl, k):
+    """Offset (signed-asymmetric) activation fake-quant: the uniform grid
+    ``(i - k)/(num_lvl-1) * alpha_act`` for i in 0..num_lvl-1 — k levels
+    below zero, (num_lvl-1-k) above.
+
+    The reference's activation quantizer is unsigned
+    (src/models/layer_helper.py:25-37 clips at zero), which saturates
+    layers whose inputs carry negative mass — the measured mechanism of
+    the W2A2 tail-collapse basin (docs/quantization.md).  Shifting the
+    SAME number of levels below zero keeps the deployed integer conv
+    exact (codes become ``q - k`` in [-k, num_lvl-1-k]; zero stays ON the
+    grid, so conv zero-padding needs no correction term and the scale
+    epilogue is unchanged).  ``k=0`` reduces bit-for-bit to
+    :func:`fake_quant_act`.  ``k`` may be a traced scalar.
+    """
+    delta = 1.0 / (num_lvl - 1)
+    lo = -k * delta
+    return discretize(x / alpha_act, num_lvl, lo, lo + 1.0) * alpha_act
+
+
 def pack_int_weight(qweight, alpha_w, num_lvl):
     """Convert a fake-quantized weight (values = alpha_w * grid) to integer
     codes for storage.  codes = round((w/alpha + 1) / delta) in [0, num_lvl-1].
