@@ -297,6 +297,23 @@ def ptq(args):
         task=args.task, init_stride=definer.parse_triple(args.init_stride),
         hp=hp, verbose=args.lwq_verbose, mesh=mesh,
         granularity=getattr(args, "lwq_granularity", "layer"))
+    act_offset = getattr(args, "act_offset", 0)
+    if act_offset:
+        # offset (signed-asymmetric) activation grids, searched per layer
+        # at calibration (ptq/engine.run_ptq act_offset); scope 'tail'
+        # restricts the search to the basin-trigger set (the last
+        # ResBlock's convs, engine.tail_sensitive_convs)
+        from ..ptq.engine import tail_sensitive_convs
+
+        scope = getattr(args, "act_offset_scope", "tail")
+        ptq_kw["act_offset"] = act_offset
+        if scope == "tail":
+            ptq_kw["act_offset_convs"] = set(tail_sensitive_convs(graph))
+            print(f"act_offset: searching k in 0..{act_offset} on "
+                  f"{sorted(ptq_kw['act_offset_convs'])}")
+        else:
+            print(f"act_offset: searching k in 0..{act_offset} on every "
+                  f"q_act conv")
     mixed_frac = getattr(args, "mixed_frac", 0.0)
     lwq_select = getattr(args, "lwq_select", 0)
     if lwq_select:
@@ -639,6 +656,41 @@ def _save_artifact(graph, variables, hub, n_mod, n_class, snap_dir, args):
     })
     print(f"serving artifact -> {path} (batch={batch}, "
           f"platforms={list(exported.platforms)})")
+
+    if getattr(args, "serve_stem", "direct") == "s2d":
+        # ALSO ship the headline serving mode (--serve_stem s2d) as an
+        # artifact: the exported module is the fused s2d-stem forward
+        # (channels-first tail); the host transform is manifest-driven
+        # package code on the serving side (export.py
+        # ServingArtifact._s2d_volume_inferencer).  The direct artifact
+        # above stays alongside as the odd-geometry fallback.
+        res = export_mod.export_s2d_model(
+            graph, variables, patch_size, n_mod,
+            # default 8 = the standard BraTS whole-grid forward; ragged
+            # grids zero-pad up (patch_model_fn)
+            patch_batch=pb if pb > 0 else 8)
+        if res is None:
+            print("serve_stem=s2d artifact skipped: no eligible stem "
+                  "(need --deploy int8|mixed and a >=32-channel stem)")
+        else:
+            exported_s, batch_s, stem_attrs = res
+            path_s = P.join(snap_dir, "serving_artifact_s2d.zip")
+            export_mod.save_serving_artifact(path_s, exported_s, {
+                "task": args.task,
+                "patch_size": list(patch_size),
+                "overlap": list(overlap),
+                "serve_stem": "s2d",
+                "channels_first": True,
+                "stem_geometry": stem_attrs,
+                "n_mod": int(n_mod),
+                "n_class": int(n_class),
+                "batch": batch_s,
+                "deploy": getattr(args, "deploy", "none"),
+                "serve_dtype": "bf16",
+                "multilabel_fusetype": hub.multilabel_fusetype,
+            })
+            print(f"s2d serving artifact -> {path_s} (batch={batch_s}, "
+                  f"platforms={list(exported_s.platforms)})")
     return path
 
 

@@ -89,6 +89,61 @@ def export_patch_model(graph, variables, patch_size, n_mod: int, *,
             int(patch_batch)
 
 
+def export_s2d_model(graph, variables, patch_size, n_mod: int, *,
+                     patch_batch: int, compute_dtype=jnp.bfloat16):
+    """Export the host-s2d serving forward — the headline serving mode
+    (``--serve_stem s2d``; ptq/deploy.py::make_s2d_volume_inferencer) as
+    a portable artifact.
+
+    The exported callable takes ``(stack, parities)`` — the host-built
+    s2d patch stack (pallas/stem.py) — and returns final-head logits in
+    the channels-first serving layout.  The host transform itself
+    (data/native.py::s2d_bf16 with its NumPy fallback) is package code on
+    the serving side, driven by the manifest (``serve_stem='s2d'`` +
+    ``stem_geometry``); ``ServingArtifact.volume_inferencer`` wires it
+    up.  Returns ``(exported, batch, stem_attrs)`` or ``None`` when the
+    graph has no eligible stem (use ``--deploy int8|mixed`` first).
+
+    NOTE: export on the TPU host — a CPU-host export lowers the Pallas
+    kernels in interpret mode (correct everywhere, fast nowhere).
+    """
+    import jax
+
+    from jax import export as jexport
+
+    from .ptq.deploy import channels_first_tail, s2d_stem_serving
+
+    patch_size = tuple(ops.triple(patch_size))
+    stem0 = next((n for n in graph.nodes
+                  if n.op == "conv" and n.inputs == (graph.input_name,)),
+                 None)
+    g2 = channels_first_tail(graph)
+    g2, v2, stem = s2d_stem_serving(g2, variables)
+    if stem is None:
+        return None
+
+    def patch_fn(xb):
+        return nnir.apply(g2, v2, xb, mode="quantized",
+                          compute_dtype=compute_dtype)[-1:]
+
+    pd, ph, pw = patch_size
+    B = int(patch_batch)
+    stack_sd = jax.ShapeDtypeStruct((B, pd // 2 + 1, ph // 2, pw // 2,
+                                     8 * n_mod), jnp.bfloat16)
+    par_sd = jax.ShapeDtypeStruct((B,), jnp.int32)
+    # a TPU host lowers real Mosaic custom calls (TPU-only); any other
+    # host lowers interpret-mode Pallas (plain HLO, runs on that backend)
+    platforms = (("tpu",) if jax.default_backend() == "tpu"
+                 else (jax.default_backend(),))
+    exported = jexport.export(jax.jit(patch_fn),
+                              platforms=platforms)((stack_sd, par_sd))
+    stem_attrs = {k: (list(v) if isinstance(v, tuple) else v)
+                  for k, v in stem0.attrs.items()
+                  if k in ("kernel_size", "stride", "padding", "dilation",
+                           "groups")}
+    return exported, B, stem_attrs
+
+
 def save_serving_artifact(path: str, exported, manifest: dict) -> None:
     manifest = dict(manifest)
     manifest["format"] = FORMAT
@@ -122,19 +177,23 @@ class ServingArtifact:
 
     def patch_model_fn(self):
         """A ``model_fn`` for eval/sliding.py sliding_window_inference:
-        (B, pd, ph, pw, nMod) -> (1, B, pd, ph, pw, C_out).  Static-batch
-        artifacts zero-pad ragged chunks and drop the padded outputs."""
+        (B, pd, ph, pw, nMod) -> (1, B, pd, ph, pw, C_out) — or, for s2d
+        artifacts, a ``(stack, parities)`` pytree in and the channels-
+        first head out.  Static-batch artifacts zero-pad ragged chunks
+        (every leaf's leading axis) and drop the padded outputs."""
         call = self.exported.call
         if self.batch == "symbolic":
             return call
         B = int(self.batch)
 
         def fn(xb):
-            n = xb.shape[0]
+            n = jax.tree_util.tree_leaves(xb)[0].shape[0]
             if n > B:
                 raise ValueError(f"chunk of {n} patches > artifact batch {B}")
             if n < B:
-                xb = jnp.pad(xb, [(0, B - n)] + [(0, 0)] * (xb.ndim - 1))
+                xb = jax.tree_util.tree_map(
+                    lambda a: jnp.pad(a, [(0, B - n)] + [(0, 0)]
+                                      * (a.ndim - 1)), xb)
             return call(xb)[:, :n]
 
         return fn
@@ -157,6 +216,9 @@ class ServingArtifact:
         model_fn = self.patch_model_fn()
         if patch_batch is None or patch_batch == "auto" or patch_batch <= 0:
             patch_batch = self.batch if self.batch != "symbolic" else 4
+        if self.manifest.get("serve_stem") == "s2d":
+            return self._s2d_volume_inferencer(int(patch_batch), hard_pred,
+                                               multilabel)
         column = self.manifest.get("serve_grid") == "column"
         col_d = int(self.manifest.get("column_depth", 0))
 
@@ -184,6 +246,63 @@ class ServingArtifact:
                 else:
                     out = jnp.argmax(out, axis=-1).astype(jnp.uint8)
             return out
+
+        return infer
+
+
+    def _s2d_volume_inferencer(self, patch_batch: int, hard_pred: bool,
+                               multilabel: bool):
+        """Serving loop for an s2d artifact (export_s2d_model): host-side
+        space-to-depth (data/native.py s2d_bf16 — threaded C++ with a
+        NumPy fallback, both driven purely by the manifest geometry),
+        device-side patch slicing, the exported channels-first forward,
+        and the stitch.  Same call contract as the direct inferencer.
+
+        Geometry the s2d grid cannot serve (odd H/W starts or extents)
+        raises with the fix spelled out — export also writes the direct
+        artifact alongside for exactly this case (cli/missions.py)."""
+        import numpy as np
+
+        from .data import native as effq_native
+        from .eval.sliding import patch_grid, sliding_window_inference
+        from .pallas.stem import (extract_pre_s2d_patches, s2d_need_planes,
+                                  s2d_supported)
+
+        model_fn = self.patch_model_fn()
+        stem_attrs = {k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in self.manifest["stem_geometry"].items()}
+
+        @partial(jax.jit, static_argnames=("patch_size", "overlap",
+                                           "vol_shape"))
+        def run(sv, patch_size, overlap, vol_shape):
+            out = sliding_window_inference(
+                model_fn, sv, patch_size, overlap, int(patch_batch),
+                normalize=not hard_pred, channels_first=True,
+                extract_fn=extract_pre_s2d_patches, vol_shape=vol_shape)
+            if hard_pred:
+                if multilabel:
+                    # channels-first sign test, then back to the
+                    # channels-last contract of the eval consumers
+                    return jnp.moveaxis((out >= 0).astype(jnp.uint8), 2, -1)
+                return jnp.argmax(out, axis=2).astype(jnp.uint8)
+            return jnp.moveaxis(out, 2, -1)
+
+        def infer(variables_ignored, image, patch_size, overlap):
+            del variables_ignored
+            image = np.asarray(image)
+            patch_size = tuple(ops.triple(patch_size))
+            overlap = tuple(ops.triple(overlap))
+            vol_shape = tuple(image.shape[1:4])
+            starts = patch_grid(vol_shape, patch_size, overlap)
+            if not s2d_supported(starts, patch_size, vol_shape, stem_attrs):
+                raise ValueError(
+                    f"volume {vol_shape} has odd H/W grid geometry the s2d "
+                    f"artifact cannot serve — use the direct serving "
+                    f"artifact exported alongside (serving_artifact.zip)")
+            svol = effq_native.s2d_bf16(
+                image.astype(np.float32, copy=False),
+                s2d_need_planes(starts, patch_size))
+            return run(jnp.asarray(svol), patch_size, overlap, vol_shape)
 
         return infer
 

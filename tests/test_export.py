@@ -171,3 +171,82 @@ def test_bf16_artifact_close_to_f32(tiny_qnet, tmp_path):
     d = float(jnp.max(jnp.abs(jnp.asarray(got, jnp.float32) - ref)))
     scale = float(jnp.std(ref))
     assert 0 < d < 0.1 * scale + 0.05, (d, scale)
+
+
+def test_s2d_artifact_end_to_end(tmp_path):
+    """The headline serving mode (--serve_stem s2d) as an artifact
+    (export_s2d_model + ServingArtifact._s2d_volume_inferencer): the
+    serialized module matches the live s2d forward exactly on a patch
+    stack, and the manifest-driven whole-volume path agrees with the
+    direct quantized inferencer on the hard segmentation."""
+    from efficientq_tpu.eval.sliding import patch_grid
+    from efficientq_tpu.pallas.stem import extract_s2d_patches
+    from efficientq_tpu.ptq.deploy import (channels_first_tail,
+                                           s2d_stem_serving,
+                                           to_int8_inference)
+
+    cfg = UResQConfig(num_mod=4, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[8, 16, 8], dilation_config=[1, 1, 1],
+                      init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid",
+                      ds="simple", quantize=True, qlvl_w=4, qlvl_act=4,
+                      q_first=(256, -1), q_last=(256, -1))
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    fg, fv = fold_bn(graph, variables)
+    for node in fg.qconv_nodes():
+        q = node.attrs["qcfg"]
+        p = fv["params"][node.name]
+        if q.q_weight:
+            a = jnp.maximum(jnp.max(jnp.abs(p["kernel"])), 1e-8)
+            p["kernel"] = fake_quant_weight(p["kernel"], a, q.qlvl_w)
+            p["alpha_w"] = a
+        if q.q_act:
+            p["alpha_act"] = jnp.float32(1.0)
+    ig, iv = to_int8_inference(fg, fv, pallas=True,
+                               only_kernel_sizes={(3, 3, 3)})
+
+    patch, overlap = (16, 16, 16), (4, 4, 4)
+    res = export_mod.export_s2d_model(ig, iv, patch, 4, patch_batch=8)
+    assert res is not None
+    exported, batch, stem_attrs = res
+    assert batch == 8
+    path = str(tmp_path / "serving_artifact_s2d.zip")
+    export_mod.save_serving_artifact(path, exported, {
+        "task": "brats", "patch_size": list(patch),
+        "overlap": list(overlap), "serve_stem": "s2d",
+        "channels_first": True, "stem_geometry": stem_attrs,
+        "n_mod": 4, "n_class": 3, "batch": batch, "deploy": "mixed",
+        "serve_dtype": "bf16", "multilabel_fusetype": "brats_con"})
+    art = export_mod.load_serving_artifact(path)
+    art.check_platform()
+
+    # (1) module == live s2d forward on the same patch stack, exactly
+    vol_shape = (22, 20, 20)  # 2x2x2 grid (= the pinned batch), odd z start
+    vol = np.random.RandomState(1).randn(1, *vol_shape, 4).astype(np.float32)
+    starts = patch_grid(vol_shape, patch, overlap)
+    g2, v2, stem = s2d_stem_serving(channels_first_tail(ig), iv)
+    assert stem is not None
+    stack, par = extract_s2d_patches(jnp.asarray(vol), starts, patch)
+    # jitted reference: an eager bf16 walk rounds differently than the
+    # compiled program (XLA fusion), and the artifact IS the compiled form
+    ref = jax.jit(lambda t: nnir.apply(
+        g2, v2, t, mode="quantized",
+        compute_dtype=jnp.bfloat16)[-1:])((stack, par))
+    got = art.patch_model_fn()((stack, par))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # (2) manifest-driven whole-volume serving vs the direct inferencer
+    infer = art.volume_inferencer(hard_pred=True, multilabel=True)
+    seg = np.asarray(infer(None, vol, patch, overlap))
+    direct = make_jitted_volume_inferencer(
+        ig, patch_batch=8, mode="quantized", heads=slice(-1, None),
+        hard_pred=True, multilabel=True, compute_dtype=jnp.bfloat16)
+    seg_ref = np.asarray(direct(iv, jnp.asarray(vol), patch, overlap))
+    assert seg.shape == seg_ref.shape
+    agree = (seg == seg_ref).mean()
+    assert agree > 0.999, agree
+
+    # (3) odd-geometry volumes are refused with the fallback named
+    bad = np.random.RandomState(2).randn(1, 22, 21, 20, 4).astype(np.float32)
+    with pytest.raises(ValueError, match="direct serving"):
+        infer(None, bad, patch, overlap)
