@@ -657,15 +657,27 @@ def _save_artifact(graph, variables, hub, n_mod, n_class, snap_dir, args):
     print(f"serving artifact -> {path} (batch={batch}, "
           f"platforms={list(exported.platforms)})")
 
-    if getattr(args, "serve_stem", "direct") == "s2d":
+    if (getattr(args, "serve_stem", "direct") == "s2d"
+            and serve_grid == "patch"):
         # ALSO ship the headline serving mode (--serve_stem s2d) as an
         # artifact: the exported module is the fused s2d-stem forward
         # (channels-first tail); the host transform is manifest-driven
         # package code on the serving side (export.py
         # ServingArtifact._s2d_volume_inferencer).  The direct artifact
         # above stays alongside as the odd-geometry fallback.
+        g_dep, v_dep = graph, variables
+        if not any(n.attrs.get("int8") for n in graph.nodes):
+            # the ptq mission hands the post-PTQ (undeployed) graph here;
+            # the s2d stem rewrite needs the int8 Pallas consumers, so
+            # apply the mixed deployment (the headline serving mode)
+            from ..ptq.deploy import to_int8_inference
+
+            only = (None if getattr(args, "deploy", "none") == "int8"
+                    else {(3, 3, 3)})
+            g_dep, v_dep = to_int8_inference(graph, variables,
+                                             only_kernel_sizes=only)
         res = export_mod.export_s2d_model(
-            graph, variables, patch_size, n_mod,
+            g_dep, v_dep, patch_size, n_mod,
             # default 8 = the standard BraTS whole-grid forward; ragged
             # grids zero-pad up (patch_model_fn)
             patch_batch=pb if pb > 0 else 8)

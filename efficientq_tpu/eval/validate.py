@@ -151,8 +151,10 @@ def validate_seg(
     # it (the bench's sync -> async serving gap).  Costs one extra
     # in-flight prediction canvas of device memory.
     pending = None
+    s2d_artifact = (artifact is not None
+                    and artifact.manifest.get("serve_stem") == "s2d")
     for images, masks in iter(loader):
-        if serve_stem == "s2d":
+        if serve_stem == "s2d" or s2d_artifact:
             # host-side NDHWC: the s2d inferencer transforms on the HOST
             # before upload (a device round-trip would defeat the point)
             x = np.moveaxis(np.asarray(images), 1, -1)

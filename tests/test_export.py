@@ -250,3 +250,58 @@ def test_s2d_artifact_end_to_end(tmp_path):
     bad = np.random.RandomState(2).randn(1, 22, 21, 20, 4).astype(np.float32)
     with pytest.raises(ValueError, match="direct serving"):
         infer(None, bad, patch, overlap)
+
+
+def test_s2d_artifact_through_validate_seg(tmp_path):
+    """infer --artifact serving_artifact_s2d.zip path: validate_seg feeds
+    the s2d artifact inferencer host NDHWC volumes (manifest-driven) and
+    produces the same metrics as the direct quantized graph."""
+    from efficientq_tpu.eval.validate import validate_seg
+    from efficientq_tpu.ptq.deploy import to_int8_inference
+
+    cfg = UResQConfig(num_mod=1, num_classes=3, depth_config=[1, 1, 1],
+                      width_config=[4, 8, 4], dilation_config=[1, 1, 1],
+                      init_stride=(2, 2, 2), drop_rate=0.0, blk_type="mid",
+                      ds=None, quantize=True, qlvl_w=4, qlvl_act=4,
+                      q_first=(256, -1), q_last=(256, -1))
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(3))
+    fg, fv = fold_bn(graph, variables)
+    for node in fg.qconv_nodes():
+        q = node.attrs["qcfg"]
+        p = fv["params"][node.name]
+        if q.q_weight:
+            a = jnp.maximum(jnp.max(jnp.abs(p["kernel"])), 1e-8)
+            p["kernel"] = fake_quant_weight(p["kernel"], a, q.qlvl_w)
+            p["alpha_w"] = a
+        if q.q_act:
+            p["alpha_act"] = jnp.float32(1.0)
+    ig, iv = to_int8_inference(fg, fv, pallas=True,
+                               only_kernel_sizes={(3, 3, 3)})
+    patch, overlap = (8, 8, 8), (2, 2, 2)
+    res = export_mod.export_s2d_model(ig, iv, patch, 1, patch_batch=27)
+    assert res is not None
+    exported, batch, stem_attrs = res
+    path = str(tmp_path / "serving_artifact_s2d.zip")
+    export_mod.save_serving_artifact(path, exported, {
+        "task": "lits", "patch_size": list(patch),
+        "overlap": list(overlap), "serve_stem": "s2d",
+        "channels_first": True, "stem_geometry": stem_attrs,
+        "n_mod": 1, "n_class": 3, "batch": batch, "deploy": "mixed",
+        "serve_dtype": "bf16"})
+    art = export_mod.load_serving_artifact(path)
+
+    rng = np.random.RandomState(4)
+    loader = [(rng.randn(1, 1, 16, 16, 16).astype(np.float32),
+               (rng.rand(1, 16, 16, 16) * 3).astype(np.int64))
+              for _ in range(2)]
+    sm = validate_seg(None, None, loader, None, 1, 3, patch_size=patch,
+                      overlap=overlap, artifact=art)
+    m = sm[-1].get_metric()
+    assert np.isfinite(m["dsc"])
+
+    sm_ref = validate_seg(ig, iv, loader, None, 1, 3, patch_size=patch,
+                          overlap=overlap, mode="quantized",
+                          compute_dtype=jnp.bfloat16, patch_batch=27)
+    m_ref = sm_ref[-1].get_metric()
+    assert abs(m["dsc"] - m_ref["dsc"]) < 0.02, (m["dsc"], m_ref["dsc"])
