@@ -575,11 +575,20 @@ def qconv3x3_int8_ndhwc(
 
     ring_tz = 1
     if use_ring and not use_taps and ring != "ring1":
-        for t in (4, 2):
-            if (d % t == 0 and d > t
-                    and est_ring_tz_vmem(t, res_bytes) < 14 * 1024 * 1024):
+        import os as _os
+
+        pin = _os.environ.get("EFFQ_RING_TZ")  # A/B: pin TZ, skip the est
+        if pin:
+            t = int(pin)
+            if d % t == 0 and d > t:
                 ring_tz = t
-                break
+        else:
+            for t in (4, 2):
+                if (d % t == 0 and d > t
+                        and est_ring_tz_vmem(t, res_bytes)
+                        < 14 * 1024 * 1024):
+                    ring_tz = t
+                    break
     if use_ring and ring_tz > 1:
         kernel = functools.partial(
             _qconv3d_ring_tz_kernel, H=h, W=w_sp, D=d, out_dtype=out_dtype,

@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Sustained-stream measurement of the product --serve_stem s2d path.
+
+The r4 bench scored the s2d headline at the computed pipeline bound
+min(device rate, host rate) (VERDICT r4 weak #2: "a computed bound, not a
+measurement").  This drives ``ptq.deploy.make_s2d_volume_inferencer`` —
+the exact product inferencer ``validate_seg`` uses — through a ≥20-volume
+stream with validate_seg's 1-deep pipeline (dispatch volume i+1, then
+materialize volume i), and reports:
+
+  - steady-state volumes/sec over the stream (wall-clock, warm)
+  - per-volume host-s2d transform times (min/p50/max histogram)
+  - host occupancy = Σ host_ms / wall (the overlap headroom)
+
+Usage: python scripts/serve_stream_bench.py [n_vols] [--json]
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    n_vols = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    as_json = "--json" in sys.argv
+
+    from efficientq_tpu.cli.entrance import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from efficientq_tpu import nnir
+    from efficientq_tpu.data import native as effq_native
+    from efficientq_tpu.models import build_uresq, preset_config
+    from efficientq_tpu.ptq import fold_bn
+    from efficientq_tpu.ptq.deploy import (channels_first_tail,
+                                           make_s2d_volume_inferencer,
+                                           to_int8_inference)
+    from efficientq_tpu.quant import fake_quant_weight
+
+    cfg = preset_config("brats", quantize=True)
+    graph = build_uresq(cfg)
+    variables = nnir.init(graph, jax.random.PRNGKey(0))
+    fgraph, fvars = fold_bn(graph, variables)
+    for node in fgraph.qconv_nodes():
+        qcfg = node.attrs["qcfg"]
+        p = fvars["params"][node.name]
+        if qcfg.q_weight:
+            alpha = jnp.maximum(jnp.max(jnp.abs(p["kernel"])), 1e-8)
+            p["kernel"] = fake_quant_weight(p["kernel"], alpha, qcfg.qlvl_w)
+            p["alpha_w"] = alpha
+        if qcfg.q_act:
+            p["alpha_act"] = jnp.float32(1.0)
+    mg, mv = to_int8_inference(fgraph, fvars, only_kernel_sizes={(3, 3, 3)})
+    mg = channels_first_tail(mg)
+
+    # instrument the host transform the product inferencer calls
+    host_ms = []
+    orig_s2d = effq_native.s2d_bf16
+
+    def timed_s2d(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_s2d(*a, **kw)
+        host_ms.append((time.perf_counter() - t0) * 1e3)
+        return out
+
+    effq_native.s2d_bf16 = timed_s2d
+    infer = make_s2d_volume_inferencer(mg, mv, hard_pred=True,
+                                       multilabel=True)
+    assert infer is not None, "no eligible s2d stem (need mixed deploy)"
+
+    vol_shape = (155, 240, 240)
+    patch, overlap = (128, 128, 128), (16, 16, 16)
+    rng = np.random.RandomState(0)
+    # distinct volumes: the runtime memoizes identical pure executions
+    # through the dev tunnel, so a repeated volume measures nothing.  Keep
+    # host memory bounded: a base volume + per-volume noise slabs
+    base = rng.randn(1, *vol_shape, 4).astype(np.float32)
+    slabs = [rng.randn(1, 8, *vol_shape[1:], 4).astype(np.float32)
+             for _ in range(8)]
+
+    def make_vol(i):
+        v = base.copy()
+        v[:, i % 16: i % 16 + 8] += slabs[i % 8]
+        return v
+
+    # compile + warm (first call of the program signature blocks)
+    warm = np.asarray(infer(None, make_vol(97), patch, overlap))
+    assert warm.shape[-4:-1] == vol_shape or warm.shape[2:5] == vol_shape, \
+        warm.shape
+    host_ms.clear()
+
+    # the 1-deep product pipeline (eval/validate.py validate_seg):
+    # dispatch volume i, then materialize volume i-1 while i computes
+    t_start = time.perf_counter()
+    done = 0
+    pending = None
+    per_vol_wall = []
+    t_prev = t_start
+    for i in range(n_vols):
+        preds = infer(None, make_vol(i), patch, overlap)
+        if pending is not None:
+            np.asarray(pending)  # materialize = the consumer's work
+            done += 1
+            t_now = time.perf_counter()
+            per_vol_wall.append((t_now - t_prev) * 1e3)
+            t_prev = t_now
+        pending = preds
+    np.asarray(pending)
+    done += 1
+    wall = time.perf_counter() - t_start
+    vps = done / wall
+
+    hist = np.asarray(host_ms)
+    # steady state: drop the first 3 (allocator warm-up, cache effects)
+    steady = np.asarray(per_vol_wall[3:]) if len(per_vol_wall) > 6 else \
+        np.asarray(per_vol_wall)
+    out = {
+        "metric": "s2d_sustained_stream",
+        "n_volumes": done,
+        "volumes_per_sec": round(vps, 3),
+        "steady_ms_per_volume": round(float(np.median(steady)), 2),
+        "host_s2d_ms": {
+            "min": round(float(hist.min()), 1),
+            "p50": round(float(np.median(hist)), 1),
+            "max": round(float(hist.max()), 1),
+        },
+        "host_occupancy": round(float(hist.sum()) / (wall * 1e3), 3),
+    }
+    if as_json:
+        print(json.dumps(out))
+    else:
+        print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
