@@ -147,7 +147,8 @@ def _qconv3d_kernel(scale_ref, *refs, H, W, D, dil, tz, out_dtype,
 
 
 def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
-                         has_res, res_relu, quant_qlvl, pool, O, taps):
+                         has_res, res_relu, quant_qlvl, pool, O, taps,
+                         k9=False):
     """Ring-accumulator variant (dil=1): ONE program per INPUT plane.
 
     The plane-per-output formulation wastes the MXU's N dimension on
@@ -182,20 +183,29 @@ def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # 1) accumulate input plane u = zi (when it exists): one padded im2col
-    #    (HOISTED out of the residue branches — the pad + lane concats are
-    #    residue-independent, only the packed-weight variant differs),
-    #    3 kh dots at N = 3O, one full-width add into the rotating slots
-    qa = jnp.pad(plane_ref[0, 0], ((1, 1), (1, 1), (0, 0)))
-    if not taps:
-        cols3 = [jnp.concatenate(
-            [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
-             for kw in range(3)], axis=1) for kh in range(3)]
+    # 1) accumulate input plane u = zi (when it exists): one padded im2col,
+    #    3 kh dots at N = 3O (or one K=9C dot under k9), one full-width add
+    #    into the rotating slots.  The pad + im2col stay INSIDE the residue
+    #    branches: hoisting them out (r5 experiment) kept all three kh
+    #    blocks live at once — +0.26 ms/call measured AND a scoped-vmem
+    #    compile OOM on the pool variant.  Do not re-hoist.
     for r in range(3):
         @pl.when((zi < D) & (zi % 3 == r))
         def _accum(r=r):
+            qa = jnp.pad(plane_ref[0, 0], ((1, 1), (1, 1), (0, 0)))
             part = None
-            if taps:
+            if k9:
+                # K-packed im2col: ONE (H·W, 9C) block and ONE dot — the
+                # MXU accumulates across the K tiles internally, so the
+                # two full-width partial adds of the per-kh form (each a
+                # VMEM read-modify-write of the (H·W, 3O) i32 part)
+                # disappear
+                cols9 = jnp.concatenate(
+                    [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
+                     for kh in range(3) for kw in range(3)], axis=1)
+                part = jnp.dot(cols9, w_ref[r],
+                               preferred_element_type=jnp.int32)
+            elif taps:
                 # tap-dot form: one (H·W, C) x (C, 3O) dot per (kh, kw) tap,
                 # NO lane-dim concatenate.  MEASURED 1.69x SLOWER than the
                 # concat form at the serving geometry (docs/kernels.md,
@@ -212,7 +222,10 @@ def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
                         part = d if part is None else part + d
             else:
                 for kh in range(3):
-                    d_kh = jnp.dot(cols3[kh], w_ref[r, kh],
+                    cols = jnp.concatenate(
+                        [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
+                         for kw in range(3)], axis=1)
+                    d_kh = jnp.dot(cols, w_ref[r, kh],
                                    preferred_element_type=jnp.int32)
                     part = d_kh if part is None else part + d_kh
             if r == 0:
@@ -261,7 +274,8 @@ def _qconv3d_ring_kernel(scale_ref, plane_ref, *refs, H, W, D, out_dtype,
 
 
 def _qconv3d_ring_tz_kernel(scale_ref, p0_ref, *refs, H, W, D, out_dtype,
-                            has_res, res_relu, quant_qlvl, pool, O, TZ):
+                            has_res, res_relu, quant_qlvl, pool, O, TZ,
+                            k9=False):
     """Multi-plane ring kernel: TZ input planes + TZ output planes per
     program, grid (n, D // TZ).
 
@@ -300,39 +314,45 @@ def _qconv3d_ring_tz_kernel(scale_ref, p0_ref, *refs, H, W, D, out_dtype,
 
     def im2col(raw):
         qa = jnp.pad(raw, ((1, 1), (1, 1), (0, 0)))
+        if k9:
+            # K-packed form: one (H·W, 9C) block, one dot per plane (the
+            # MXU accumulates across K tiles — no partial adds)
+            return jnp.concatenate(
+                [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
+                 for kh in range(3) for kw in range(3)], axis=1)
         return [jnp.concatenate(
             [qa[kh:kh + H, kw:kw + W, :].reshape(H * W, -1)
              for kw in range(3)], axis=1) for kh in range(3)]
+
+    def tap_dot(cols, r):
+        if k9:
+            return jnp.dot(cols, w_ref[r], preferred_element_type=jnp.int32)
+        part = None
+        for kh in range(3):
+            d_kh = jnp.dot(cols[kh], w_ref[r, kh],
+                           preferred_element_type=jnp.int32)
+            part = d_kh if part is None else part + d_kh
+        return part
 
     @pl.when(zi == 0)
     def _first_plane():
         # plane 0 (residue 0), with its kd=2 tap (output z = -1, the conv's
         # zero padding) masked off slot 2 — same mask as the 1-plane kernel
-        cols3 = im2col(p0_ref[0, 0])
-        part = None
-        for kh in range(3):
-            d_kh = jnp.dot(cols3[kh], w_ref[0, kh],
-                           preferred_element_type=jnp.int32)
-            part = d_kh if part is None else part + d_kh
+        part = tap_dot(im2col(p0_ref[0, 0]), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, part.shape, 1)
         part = jnp.where(col >= 2 * O, 0, part)
         acc_ref[...] = acc_ref[...] + part
 
     for k in range(TZ):
         u = zi * TZ + k + 1
-        # hoisted im2col: residue-independent (only the packed-weight
-        # variant differs); wasted work only on the final program's u = D
-        # tap, which the residue branches mask off
-        cols3 = im2col(planes[k][0, 0])
+        # im2col INSIDE the residue branches: hoisting it out keeps all
+        # kh blocks live together — measured +0.26 ms/call and a
+        # scoped-vmem compile OOM on the pool variant (r5)
         for r in range(3):
             @pl.when((u < D) & (u % 3 == r))
-            def _acc(r=r, cols3=cols3):
-                part = None
-                for kh in range(3):
-                    d_kh = jnp.dot(cols3[kh], w_ref[r, kh],
-                                   preferred_element_type=jnp.int32)
-                    part = d_kh if part is None else part + d_kh
-                acc_ref[...] = acc_ref[...] + part
+            def _acc(r=r, k=k):
+                acc_ref[...] = acc_ref[...] + tap_dot(
+                    im2col(planes[k][0, 0]), r)
         # finalize output z = u - 1 (all three of its taps accumulated)
         z = zi * TZ + k
         for s in range(3):
@@ -379,6 +399,21 @@ def _ring_weight_perm(w_mat: jax.Array, o: int) -> jax.Array:
         for kd in range(3):
             blocks[(r + 1 - kd) % 3] = w_mat[kd]
         parts.append(jnp.concatenate(blocks, axis=-1))
+    return jnp.stack(parts)
+
+
+def _ring_weight_perm_k9(w_codes: jax.Array, o: int) -> jax.Array:
+    """(3, 3, 3, C, O) DHWIO codes -> (3, 9C, 3O) per-residue K-packed
+    matrices: rows ordered (kh, kw, c) to match the single 9C im2col
+    concat; tap kd's columns at slot (r + 1 - kd) % 3 (same ring slot
+    algebra as `_ring_weight_perm`)."""
+    w9 = w_codes.reshape(3, -1, o)  # (kd, 9C, O), kh-major rows
+    parts = []
+    for r in range(3):
+        blocks = [None] * 3
+        for kd in range(3):
+            blocks[(r + 1 - kd) % 3] = w9[kd]
+        parts.append(jnp.concatenate(blocks, axis=-1))  # (9C, 3O)
     return jnp.stack(parts)
 
 
@@ -550,13 +585,15 @@ def qconv3x3_int8_ndhwc(
                 + (h * w_sp * _pad128(o) * out_bytes // 2 if pool else 0))
 
     use_ring = _HAS_PLTPU and dil == 1 and d >= 2 and (
-        ring in ("force", "taps", "ring1")
+        ring in ("force", "taps", "ring1", "k9")
         or (ring == "auto" and h * w_sp >= 1024
             and _pad128(3 * o) < 3 * _pad128(o)
             and est_ring_vmem(res_bytes) < 13 * 1024 * 1024))
     # 'taps' forces the ring with tap-dot im2col (9 small dots, no lane
-    # concat); 'ring1' pins one plane per program (A/B vs multi-plane)
+    # concat); 'ring1' pins one plane per program (A/B vs multi-plane);
+    # 'k9' packs all 9 taps into ONE K=9C dot (no partial adds)
     use_taps = ring == "taps"
+    use_k9 = ring == "k9"
 
     # multi-plane ring (TZ input + TZ output planes per program): the
     # per-program fixed cost (~2-4 us measured r4) amortizes over TZ and
@@ -593,7 +630,7 @@ def qconv3x3_int8_ndhwc(
         kernel = functools.partial(
             _qconv3d_ring_tz_kernel, H=h, W=w_sp, D=d, out_dtype=out_dtype,
             has_res=residual is not None, res_relu=residual_relu,
-            quant_qlvl=quant_qlvl, pool=pool, O=o, TZ=ring_tz)
+            quant_qlvl=quant_qlvl, pool=pool, O=o, TZ=ring_tz, k9=use_k9)
         plane_spec = [
             pl.BlockSpec((1, 1, h, w_sp, c),
                          lambda ni, zi, _k=k: (
@@ -628,8 +665,10 @@ def qconv3x3_int8_ndhwc(
                              lambda ni, zi: (ni, 0, 0, 0, 0)),
                 *plane_spec,
                 *res_spec,
-                pl.BlockSpec((3, 3, 3 * c, 3 * o),
-                             lambda ni, zi: (0, 0, 0, 0)),
+                (pl.BlockSpec((3, 9 * c, 3 * o),
+                              lambda ni, zi: (0, 0, 0)) if use_k9
+                 else pl.BlockSpec((3, 3, 3 * c, 3 * o),
+                                   lambda ni, zi: (0, 0, 0, 0))),
                 pl.BlockSpec((2, o), lambda ni, zi: (0, 0)),
             ],
             out_specs=out_specs if pool else out_specs[0],
@@ -637,7 +676,8 @@ def qconv3x3_int8_ndhwc(
             scratch_shapes=scratch,
             interpret=interpret,
         )(scale1, qa, *([qa] * ring_tz), *res_arg,
-          _ring_weight_perm(w_mat, o), sb)
+          _ring_weight_perm_k9(w_codes, o) if use_k9
+          else _ring_weight_perm(w_mat, o), sb)
         return tuple(out) if pool else out
     if use_ring:
         kernel = functools.partial(_qconv3d_ring_kernel, H=h, W=w_sp, D=d,
@@ -645,7 +685,7 @@ def qconv3x3_int8_ndhwc(
                                    has_res=residual is not None,
                                    res_relu=residual_relu,
                                    quant_qlvl=quant_qlvl, pool=pool, O=o,
-                                   taps=use_taps)
+                                   taps=use_taps, k9=use_k9)
         res_spec = ([pl.BlockSpec(
             (1, 1, h, w_sp, o),
             lambda ni, zi: (ni, jnp.clip(zi - 1, 0, d - 1), 0, 0, 0))]
@@ -676,6 +716,8 @@ def qconv3x3_int8_ndhwc(
                 *res_spec,
                 (pl.BlockSpec((3, 3, 3, c, 3 * o),
                               lambda ni, zi: (0, 0, 0, 0, 0)) if use_taps
+                 else pl.BlockSpec((3, 9 * c, 3 * o),
+                                   lambda ni, zi: (0, 0, 0)) if use_k9
                  else pl.BlockSpec((3, 3, 3 * c, 3 * o),
                                    lambda ni, zi: (0, 0, 0, 0))),
                 pl.BlockSpec((2, o), lambda ni, zi: (0, 0)),
@@ -686,6 +728,7 @@ def qconv3x3_int8_ndhwc(
             interpret=interpret,
         )(scale1, qa, *res_arg,
           _ring_weight_perm_taps(w_codes, o) if use_taps
+          else _ring_weight_perm_k9(w_codes, o) if use_k9
           else _ring_weight_perm(w_mat, o), sb)
         return tuple(out) if pool else out
 

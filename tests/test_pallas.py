@@ -429,9 +429,10 @@ def test_qconv3x3_ring_variant_bit_exact():
             ref = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
                                       interpret=True, ring="off", **kw)
             # 'force' engages the multi-plane (TZ) ring where depth
-            # divides; 'ring1' pins the single-plane kernel — both must
-            # be bit-identical to the z-tiled reference
-            for mode in ("force", "ring1", "taps"):
+            # divides; 'ring1' pins the single-plane kernel; 'k9' packs
+            # all taps into one K=9C dot — all bit-identical to the
+            # z-tiled reference
+            for mode in ("force", "ring1", "taps", "k9"):
                 got = qconv3x3_int8_ndhwc(x, codes, b, alpha, scale, na,
                                           interpret=True, ring=mode, **kw)
                 if kw.get("pool"):
