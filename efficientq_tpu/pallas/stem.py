@@ -381,9 +381,15 @@ def stem_s2d_conv(
                 + h * w_sp * _pad128(o) * 2 * 2 * 2  # bf16 out x2 (+ yd)
                 + h * w_sp * _pad128(o) * 1 * 2)     # s8 out x2
 
+    # budget calibrated on hardware (scripts/stem_ring_bench.py): the
+    # flagship geometry (64^2 planes, C8=O=32) estimates 16.8M here and
+    # COMPILES (Mosaic's true stack stays under its 16M scoped limit —
+    # the estimate double-counts transients); measured 2.831 -> 2.500
+    # ms/volume vs the tz=1 z-tiled kernel.  Larger planes (128^2) blow
+    # the estimate 4x and fall back to the z-tiled form.
     use_ring = ring == "force" or (
         ring == "auto" and tz == 1 and d >= 2
-        and est_ring_vmem() < 15 * 1024 * 1024)
+        and est_ring_vmem() < 17 * 1024 * 1024 + 512 * 1024)
     if use_ring:
         smem = (pl.BlockSpec(memory_space=pltpu.SMEM)
                 if _HAS_PLTPU and not interpret else None)
