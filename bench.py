@@ -309,6 +309,69 @@ def main():
     except Exception as e:  # pragma: no cover - hardware-path guard
         print(f"# host-s2d probe skipped: {e!r}", file=sys.stderr)
 
+    # SUSTAINED stream through the PRODUCT --serve_stem s2d path
+    # (ptq/deploy.py::make_s2d_volume_inferencer — the exact inferencer
+    # validate_seg drives, 1-deep pipeline): the s2d headline above is a
+    # computed pipeline bound; this row is a MEASUREMENT over a
+    # many-volume stream with per-volume host-transform timing
+    # (VERDICT r4 item 2).  Distinct volumes per iteration — the runtime
+    # memoizes identical pure executions through the dev tunnel.
+    stream = None
+    try:
+        from efficientq_tpu.data import native as effq_native2
+        from efficientq_tpu.ptq.deploy import make_s2d_volume_inferencer
+
+        host_times = []
+        orig_s2d = effq_native2.s2d_bf16
+
+        def timed_s2d(*a, **kw):
+            t0 = time.perf_counter()
+            out = orig_s2d(*a, **kw)
+            host_times.append((time.perf_counter() - t0) * 1e3)
+            return out
+
+        effq_native2.s2d_bf16 = timed_s2d
+        try:
+            infer_prod = make_s2d_volume_inferencer(
+                mgraph, mvars, hard_pred=True, multilabel=True,
+                heads=slice(-1, None))
+            if infer_prod is not None:
+                n_stream = 16
+                rs = np.random.RandomState(7)
+                slabs = [rs.randn(1, 8, *vol_shape[1:], 4).astype(np.float32)
+                         for _ in range(4)]
+
+                def mk(i):
+                    v = vol.copy()
+                    v[:, i % 16:i % 16 + 8] += slabs[i % 4]
+                    return v
+
+                np.asarray(infer_prod(None, mk(99), patch, overlap))  # warm
+                host_times.clear()
+                t0 = time.perf_counter()
+                pending = None
+                for i in range(n_stream):
+                    preds = infer_prod(None, mk(i), patch, overlap)
+                    if pending is not None:
+                        np.asarray(pending)
+                    pending = preds
+                np.asarray(pending)
+                wall = time.perf_counter() - t0
+                hh = np.asarray(host_times)
+                stream = {
+                    "volumes_per_sec": round(n_stream / wall, 3),
+                    "n_volumes": n_stream,
+                    "host_s2d_ms": {"min": round(float(hh.min()), 1),
+                                    "p50": round(float(np.median(hh)), 1),
+                                    "max": round(float(hh.max()), 1)},
+                    "host_occupancy": round(float(hh.sum()) / (wall * 1e3),
+                                            3),
+                }
+        finally:
+            effq_native2.s2d_bf16 = orig_s2d
+    except Exception as e:  # pragma: no cover - hardware-path guard
+        print(f"# sustained-stream probe skipped: {e!r}", file=sys.stderr)
+
     # cross-volume batching: the patch grids of 3 volumes as ONE 24-patch
     # forward (sliding_window_inference stitches N>1 natively; the
     # inferencer's patch_batch must scale with the volume count or the
@@ -532,6 +595,10 @@ def main():
         **({"host_s2d_ms_per_volume":
             {name: round(ms, 1) for name, (_, ms, _) in s2d_probe.items()}}
            if s2d_probe else {}),
+        # MEASURED sustained stream through the product --serve_stem s2d
+        # inferencer (validate_seg's 1-deep pipeline; per-volume host
+        # transform timed inline) — the headline's end-to-end ground truth
+        **({"s2d_sustained_stream": stream} if stream else {}),
         # synchronous per-volume dispatch: dominated by the dev tunnel's
         # per-call RTT, kept ONLY as a tunnel-health diagnostic
         "tunnel_diagnostics_sync": {

@@ -318,7 +318,20 @@ def make_s2d_volume_inferencer(graph: Graph, variables, *,
     stem0 = next((n for n in graph.nodes
                   if n.op == "conv" and n.inputs == (graph.input_name,)),
                  None)
-    g2, v2, stem = s2d_stem_serving(graph, variables)
+    # serving-tail rewrite BEFORE the stem rewrite: final head emitted
+    # NCDHW so the head conv / trilinear up / stitch run with W on the
+    # vector lanes instead of the C=3-minor ~42x-padded tiles (the bench
+    # graph always had this; the product path previously stitched
+    # channels-last — closing that gap is worth ~1.5 ms/volume).  Only
+    # engaged when the tail matches AND the caller serves the final head
+    # (the cf rewrite drops the aux heads from the output list).
+    cf = False
+    g_in = graph
+    if heads == slice(-1, None) or len(graph.outputs) == 1:
+        g_cf = channels_first_tail(graph)
+        if g_cf is not graph:
+            g_in, cf = g_cf, True
+    g2, v2, stem = s2d_stem_serving(g_in, variables)
     if stem is None:
         return None
     stem_attrs = stem0.attrs
@@ -339,14 +352,16 @@ def make_s2d_volume_inferencer(graph: Graph, variables, *,
                               keep_head_dtype=keep_hd)
 
         out = sliding_window_inference(
-            model_fn, sv, patch_size, overlap, pb, heads=heads,
+            model_fn, sv, patch_size, overlap, pb,
+            heads=None if cf else heads, channels_first=cf,
             normalize=not hard_pred, extract_fn=extract_pre_s2d_patches,
             vol_shape=vol_shape)
         if hard_pred:
             if multilabel:
-                return (out >= 0).astype(jnp.uint8)
-            return jnp.argmax(out, axis=-1).astype(jnp.uint8)
-        return out
+                out = (out >= 0).astype(jnp.uint8)
+                return jnp.moveaxis(out, 2, -1) if cf else out
+            return jnp.argmax(out, axis=2 if cf else -1).astype(jnp.uint8)
+        return jnp.moveaxis(out, 2, -1) if cf else out
 
     # 'auto' starts at the full grid (the measured-best chunking on the
     # flagship) but unlike choose_patch_batch the sweep never probed

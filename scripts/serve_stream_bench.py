@@ -37,8 +37,7 @@ def main():
     from efficientq_tpu.data import native as effq_native
     from efficientq_tpu.models import build_uresq, preset_config
     from efficientq_tpu.ptq import fold_bn
-    from efficientq_tpu.ptq.deploy import (channels_first_tail,
-                                           make_s2d_volume_inferencer,
+    from efficientq_tpu.ptq.deploy import (make_s2d_volume_inferencer,
                                            to_int8_inference)
     from efficientq_tpu.quant import fake_quant_weight
 
@@ -56,7 +55,6 @@ def main():
         if qcfg.q_act:
             p["alpha_act"] = jnp.float32(1.0)
     mg, mv = to_int8_inference(fgraph, fvars, only_kernel_sizes={(3, 3, 3)})
-    mg = channels_first_tail(mg)
 
     # instrument the host transform the product inferencer calls
     host_ms = []
@@ -69,8 +67,11 @@ def main():
         return out
 
     effq_native.s2d_bf16 = timed_s2d
+    # final-head-only serving (the headline mode): the inferencer applies
+    # the channels-first tail internally where the graph allows
     infer = make_s2d_volume_inferencer(mg, mv, hard_pred=True,
-                                       multilabel=True)
+                                       multilabel=True,
+                                       heads=slice(-1, None))
     assert infer is not None, "no eligible s2d stem (need mixed deploy)"
 
     vol_shape = (155, 240, 240)

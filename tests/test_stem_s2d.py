@@ -312,6 +312,21 @@ def test_make_s2d_volume_inferencer_product_path():
                                      (8, 8, 8)))
     np.testing.assert_array_equal(got_f, want_f)
 
+    # final-head-only serving engages the channels-first tail internally
+    # (the bench graph's layout, now productized); same output contract,
+    # same hard predictions as the direct final-head path
+    infer_cf = make_s2d_volume_inferencer(ig, iv, multilabel=True,
+                                          heads=slice(-1, None))
+    got_cf = np.asarray(infer_cf(None, np.moveaxis(
+        np.moveaxis(vol, -1, 1), 1, -1), (32, 32, 32), (8, 8, 8)))
+    direct_fh = make_jitted_volume_inferencer(
+        ig, patch_batch=8, mode="quantized", hard_pred=True,
+        multilabel=True, compute_dtype=jnp.bfloat16, heads=slice(-1, None))
+    want_cf = np.asarray(direct_fh(iv, jnp.asarray(vol), (32, 32, 32),
+                                   (8, 8, 8)))
+    assert got_cf.shape == want_cf.shape
+    assert (got_cf == want_cf).mean() > 0.999
+
     # an FP graph has no eligible stem -> None (validate_seg falls back)
     assert make_s2d_volume_inferencer(fg, fv) is None
 
