@@ -358,6 +358,20 @@ def main():
                 np.asarray(pending)
                 wall = time.perf_counter() - t0
                 hh = np.asarray(host_times)
+                # isolate the per-volume host->device upload: on this rig
+                # the dev tunnel (~tens of MB/s) bounds a distinct-volume
+                # stream — name it so the row can't masquerade as serving
+                # cost (production hosts feed over PCIe at GB/s)
+                from efficientq_tpu.pallas.stem import s2d_need_planes
+                sv_h = orig_s2d(mk(98), s2d_need_planes(
+                    patch_grid(vol_shape, patch, overlap), patch))
+                ups = []
+                for _ in range(3):
+                    tu = time.perf_counter()
+                    jax.block_until_ready(jnp.asarray(sv_h))
+                    ups.append((time.perf_counter() - tu) * 1e3)
+                up_ms = float(min(ups))
+                mb = sv_h.size * sv_h.dtype.itemsize / 1e6
                 stream = {
                     "volumes_per_sec": round(n_stream / wall, 3),
                     "n_volumes": n_stream,
@@ -366,6 +380,11 @@ def main():
                                     "max": round(float(hh.max()), 1)},
                     "host_occupancy": round(float(hh.sum()) / (wall * 1e3),
                                             3),
+                    "upload_ms_per_volume": round(up_ms, 1),
+                    "upload_mb_per_sec": round(mb / (up_ms / 1e3), 1),
+                    "bound": ("rig tunnel upload"
+                              if up_ms > 4 * max(float(np.median(hh)), 25.0)
+                              else "host/device"),
                 }
         finally:
             effq_native2.s2d_bf16 = orig_s2d

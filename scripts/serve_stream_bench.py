@@ -120,6 +120,25 @@ def main():
     # steady state: drop the first 3 (allocator warm-up, cache effects)
     steady = np.asarray(per_vol_wall[3:]) if len(per_vol_wall) > 6 else \
         np.asarray(per_vol_wall)
+
+    # host->device upload of one s2d volume, timed in isolation: on THIS
+    # rig the device hangs off a dev tunnel (~tens of MB/s), so a stream
+    # of DISTINCT volumes is upload-bound — the measurement below names
+    # that explicitly instead of letting it masquerade as serving cost.
+    # (Production TPU hosts feed over PCIe at GB/s; the async variants in
+    # bench.py dodge the tunnel by re-using a device-resident volume.)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    sv_host = orig_s2d(make_vol(98), 78)
+    up = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _jax.block_until_ready(_jnp.asarray(sv_host))
+        up.append((time.perf_counter() - t0) * 1e3)
+    upload_ms = float(min(up))
+    mb = sv_host.size * sv_host.dtype.itemsize / 1e6
+
     out = {
         "metric": "s2d_sustained_stream",
         "n_volumes": done,
@@ -131,6 +150,11 @@ def main():
             "max": round(float(hist.max()), 1),
         },
         "host_occupancy": round(float(hist.sum()) / (wall * 1e3), 3),
+        "upload_ms_per_volume": round(upload_ms, 1),
+        "upload_mb_per_volume": round(mb, 1),
+        "upload_mb_per_sec": round(mb / (upload_ms / 1e3), 1),
+        "bound": ("rig tunnel upload" if upload_ms >
+                  4 * max(float(np.median(hist)), 25.0) else "host/device"),
     }
     if as_json:
         print(json.dumps(out))
