@@ -295,8 +295,10 @@ def inference(graph, variables, loader, sn_list, *, save_dir, patch_size,
     # 1-deep pipeline, same rationale as validate_seg: NIfTI encoding of
     # volume i overlaps the device computing volume i+1
     pending = None
+    s2d_artifact = (artifact is not None
+                    and artifact.manifest.get("serve_stem") == "s2d")
     for images, _ in iter(loader):
-        if serve_stem == "s2d":
+        if serve_stem == "s2d" or s2d_artifact:
             x = np.moveaxis(np.asarray(images), 1, -1)  # host NDHWC
         else:
             x = ops.ncdhw_to_ndhwc(jnp.asarray(images))
