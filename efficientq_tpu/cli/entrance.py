@@ -168,6 +168,20 @@ def build_parser() -> argparse.ArgumentParser:
                         help="which convs the --act_offset search covers: "
                              "'tail' = the last ResBlock's (the basin-"
                              "trigger set), 'all' = every q_act conv")
+    # ours: the measured W2A2 basin fix — the reconstruction-optimal tail
+    # alpha_act clips too tightly for downstream dice; a validated sweep
+    # of clip-range factors recovers +0.23 uniform-W2A2 dice on the gate
+    # (experiments/tail_alpha_probe.json, docs/quantization.md)
+    parser.add_argument("--tail_alpha_sweep", action="store_true",
+                        help="after calibration, sweep activation-clip "
+                             "factors on the tail convs and keep the best "
+                             "by quantized dice on the labeled calibration "
+                             "volumes (factor 1.0 included: zero regret "
+                             "by the score)")
+    parser.add_argument("--tail_alpha_factors",
+                        default="1.0,1.3,1.7,2.2,3.0",
+                        help="candidate clip-range multipliers for "
+                             "--tail_alpha_sweep")
     # ours: calibration-volume selection (ptq/select.py) — the reference
     # leaves --lwq_dataid to the user with no guidance (src/ptqer.py:86-109)
     # while at 2-bit the draw swings dice ~0.1 (docs/quantization.md).

@@ -375,16 +375,16 @@ def ptq(args):
         with open(P.join(snap_dir, "mixed_upgraded.txt"), "w") as f:
             f.write("\n".join(report.mixed_upgraded) + "\n")
 
-    if getattr(args, "tune_act", 0):
-        # joint alpha_act refinement on the calibration volume
-        # (tune_activation_range, src/ptqer.py:238-272 — unused there),
-        # VALIDATED by quantized dice on the labeled calibration volume(s):
-        # at 2-bit the raw reconstruction objective overfits (more iters ->
-        # lower MSE, worse held-out dice, docs/quantization.md), so the
-        # best-scoring iterate is kept — iteration 0 included, making the
-        # flag safe at any precision
+    _scorer_cache = {}
+
+    def _tune_scorer():
+        """Quantized-dice scorer on the labeled calibration/train volumes
+        (validation never touched) — shared by --tail_alpha_sweep and
+        --tune_act; one jitted inferencer across every score call."""
+        if "fn" in _scorer_cache:
+            return _scorer_cache["fn"]
+        from ..eval.sliding import make_jitted_volume_inferencer
         from ..eval.validate import validate_seg
-        from ..ptq.tune import tune_activation_range
 
         t_sn = [f"calib{i}" for i in range(len(tune_pairs))]
         # score geometry clamped to the calibration crop: the crop
@@ -395,11 +395,6 @@ def ptq(args):
             ops.triple(hub.slide_patch_size), vol_shape))
         score_ov = tuple(o if o < p else p // 2 for o, p in zip(
             ops.triple(hub.slide_overlap), score_ps))
-        # one inferencer across all score calls — validate_seg would
-        # otherwise rebuild (and retrace) the patch/forward/stitch
-        # program every score_every iterations
-        from ..eval.sliding import make_jitted_volume_inferencer
-
         score_infer = make_jitted_volume_inferencer(
             fgraph, patch_batch=2, mode="quantized", hard_pred=True,
             multilabel=np.asarray(tune_pairs[0][1]).ndim == 5)
@@ -413,6 +408,44 @@ def ptq(args):
                               infer=score_infer)
             return float(sm[-1].get_metric()["dsc"])
 
+        _scorer_cache["fn"] = tune_score
+        return tune_score
+
+    if getattr(args, "tail_alpha_sweep", False):
+        # validated activation-clip-range sweep on the tail convs
+        # (ptq/tune.py::sweep_tail_alpha): the W2A2 basin fix — the
+        # recon-optimal tail alphas clip too tightly for downstream dice
+        # (measured +0.23 uniform-W2A2 on the gate); factor 1.0 is a
+        # candidate, so the sweep cannot lose by its own score
+        from ..ptq.tune import sweep_tail_alpha
+
+        facs = tuple(float(x) for x in
+                     getattr(args, "tail_alpha_factors",
+                             "1.0,1.3,1.7,2.2,3.0").split(","))
+        qvars, ainfo = sweep_tail_alpha(fgraph, qvars, _tune_scorer(),
+                                        factors=facs)
+        if ainfo["scores"]:
+            print(f"tail_alpha_sweep: kept x{ainfo['best_factor']} "
+                  f"(calib-volume dice {ainfo['best_score']:.4f}) over "
+                  f"{[f for f, _ in ainfo['scores']]} on "
+                  f"{ainfo['convs']}")
+            with open(P.join(snap_dir, "tail_alpha_sweep.txt"), "w") as f:
+                for fac, s in ainfo["scores"]:
+                    mark = ("  <- kept"
+                            if fac == ainfo["best_factor"] else "")
+                    f.write(f"x{fac}: dice {s:.6f}{mark}\n")
+
+    if getattr(args, "tune_act", 0):
+        # joint alpha_act refinement on the calibration volume
+        # (tune_activation_range, src/ptqer.py:238-272 — unused there),
+        # VALIDATED by quantized dice on the labeled calibration volume(s):
+        # at 2-bit the raw reconstruction objective overfits (more iters ->
+        # lower MSE, worse held-out dice, docs/quantization.md), so the
+        # best-scoring iterate is kept — iteration 0 included, making the
+        # flag safe at any precision
+        from ..ptq.tune import tune_activation_range
+
+        tune_score = _tune_scorer()
         qvars, tune_losses, tinfo = tune_activation_range(
             fgraph, qvars, calib_x, report.output_fp,
             max_iter=args.tune_act, score_fn=tune_score)

@@ -101,3 +101,60 @@ def tune_activation_range(
     for name, a in alphas.items():
         params[name]["alpha_act"] = a
     return {"params": params, "state": state}, losses, info
+
+
+def sweep_tail_alpha(
+    graph: Graph,
+    variables,
+    score_fn,
+    factors=(1.0, 1.3, 1.7, 2.2, 3.0),
+    convs=None,
+):
+    """Validated activation-CLIP-RANGE sweep on the network tail
+    (``--tail_alpha_sweep``; ours — the reference has no analogue).
+
+    The W2A2 collapse basin is a resolution failure at the last decoder
+    block (docs/quantization.md): the reconstruction-optimal alpha_act
+    (project_by_iter minimizes input MSE) clips the tail's nonnegative,
+    high-dynamic-range activations too tightly for downstream dice.
+    Gradient tuning on the reconstruction loss cannot find the fix — the
+    winning clip sits 1.7-2.2x ABOVE the recon optimum
+    (experiments/tail_alpha_probe.json: gate uniform W2A2 0.48 -> 0.72 /
+    0.67 on the probed draws).  So the product surface is a validated
+    DISCRETE sweep: multiply the tail convs' calibrated alpha_act by
+    each candidate factor, score by ``score_fn`` (quantized dice on the
+    labeled calibration/train volumes — validation is never touched),
+    keep the best.  Factor 1.0 is always a candidate, so by the score's
+    judgment the sweep has zero regret.
+
+    Returns ``(variables', info)`` with ``info['scores']`` =
+    [(factor, score), ...] and ``info['best_factor']``.
+    """
+    from .engine import tail_sensitive_convs
+
+    if convs is None:
+        convs = tail_sensitive_convs(graph)
+    convs = [c for c in convs
+             if "alpha_act" in variables["params"].get(c, {})]
+    if not convs:
+        return variables, {"scores": [], "best_factor": 1.0}
+
+    def with_factor(fac):
+        if fac == 1.0:
+            return variables
+        p2 = {k: dict(v) for k, v in variables["params"].items()}
+        for name in convs:
+            p2[name]["alpha_act"] = variables["params"][name]["alpha_act"] \
+                * jnp.float32(fac)
+        return {"params": p2, "state": variables.get("state", {})}
+
+    scores = []
+    best = (variables, None, 1.0)
+    for fac in factors:
+        v2 = with_factor(float(fac))
+        s = float(score_fn(v2))
+        scores.append((float(fac), s))
+        if best[1] is None or s > best[1]:
+            best = (v2, s, float(fac))
+    return best[0], {"scores": scores, "best_factor": best[2],
+                     "best_score": best[1], "convs": list(convs)}

@@ -77,11 +77,20 @@ def main():
     all_imgs = [im for im, _ in hub.trainseqloader]
     factors = [float(x) for x in args.factors.split(",")]
 
-    def dice_of(fg, fv):
-        sm = validate_seg(fg, fv, hub.valloader, hub.val_sn, n_mo, 3,
+    all_lbls = [lb for _, lb in hub.trainseqloader]
+
+    def dice_of(fg, fv, loader=None, sn=None):
+        sm = validate_seg(fg, fv, loader or hub.valloader,
+                          sn if loader else hub.val_sn, n_mo, 3,
                           patch_size=patch, overlap=(4, 4, 4),
                           mode="quantized")
         return float(sm[-1].get_metric()["dsc"])
+
+    # the PRODUCT mechanism (--tail_alpha_sweep): score candidate factors
+    # on labeled TRAIN volumes only, keep the best, then measure the kept
+    # variant's held-out val dice — validation never guides the choice
+    train_pairs = list(zip(all_imgs[:4], all_lbls[:4]))
+    t_sn = [f"t{i}" for i in range(len(train_pairs))]
 
     results = {}
     for off in (int(x) for x in args.offsets.split(",")):
@@ -90,21 +99,35 @@ def main():
                             init_stride=(2, 2, 2), hp=PTQHyperParams())
         base = dice_of(fg, fv)
         row = {"base": base, "trigger": {}, "both": {}}
+
+        def variant(names, fac):
+            fv2 = {"params": {k: dict(v) for k, v in fv["params"].items()},
+                   "state": fv.get("state", {})}
+            for nme in names:
+                fv2["params"][nme]["alpha_act"] = (
+                    fv["params"][nme]["alpha_act"] * fac)
+            return fv2
+
+        sel = {"fac": 1.0, "train": None}
         for fac in factors:
+            fv2 = variant([TRIGGER, EXIT], fac)
+            tr = dice_of(fg, fv2, train_pairs, t_sn)
+            if sel["train"] is None or tr > sel["train"]:
+                sel = {"fac": fac, "train": tr}
             for key, names in (("trigger", [TRIGGER]),
                                ("both", [TRIGGER, EXIT])):
-                fv2 = {"params": {k: dict(v)
-                                  for k, v in fv["params"].items()},
-                       "state": fv.get("state", {})}
-                for nme in names:
-                    fv2["params"][nme]["alpha_act"] = (
-                        fv["params"][nme]["alpha_act"] * fac)
                 t0 = time.time()
-                d = dice_of(fg, fv2)
+                d = dice_of(fg, fv2 if key == "both"
+                            else variant(names, fac))
                 row[key][str(fac)] = d
                 print(f"draw {off} {key:8s} x{fac}: dice {d:.4f} "
                       f"(base {base:.4f}, {time.time() - t0:.0f}s)",
                       flush=True)
+        row["selected"] = {"factor": sel["fac"],
+                           "train_dice": sel["train"],
+                           "val_dice": row["both"][str(sel["fac"])]}
+        print(f"draw {off} SELECTED x{sel['fac']} (train {sel['train']:.4f}"
+              f" -> val {row['selected']['val_dice']:.4f})", flush=True)
         results[str(off)] = row
 
     from efficientq_tpu.utils.toolchain import toolchain_fingerprint
