@@ -405,7 +405,11 @@ def eval_node(node: Node, params: Dict[str, Any], state: Dict[str, Any],
             xs, par, p["w_even"], p["w_odd"], p["bias"], p["alpha_next"],
             node.attrs["qlvl_next"],
             interpret=jax.default_backend() != "tpu",
-            out_dtype=compute_dtype or jnp.float32)
+            out_dtype=compute_dtype or jnp.float32,
+            # EFFQ_STEM_RING=off|auto|force — A/B hook, same spirit as
+            # EFFQ_RING (default 'auto': ring where the z-tiled kernel
+            # would be read-amplified at tz=1 and VMEM fits)
+            ring=os.environ.get("EFFQ_STEM_RING", "auto"))
     if node.op == "tuple_get":
         return ins[0][node.attrs["idx"]]
     if node.op == "dropout":
